@@ -1,0 +1,70 @@
+"""Engine configuration.
+
+The reference scatters its knobs across hardcoded constants and method
+defaults (SURVEY.md §5 "Config / flag system"):
+  - weight cutoff 3.0   (/root/reference/src/java/suskun/nn/QuantizedDnn.java:68-70,
+                         /root/reference/src/cpp/dnn.cc:60)
+  - batch size 10 (calculate) / 8 (lazy, CLI)
+                        (QuantizedDnn.java:149-151,100-102; dnn.cc:66)
+  - alignment 4 (input) / 16 (hidden)  (README.md:22)
+  - sigmoid LUT: 1280 entries at 0.01 resolution, activation scale 255
+                        (/root/reference/src/cpp/dnn.h:23-26)
+  - weight scale 127    (/root/reference/src/cpp/dnn.cc:98)
+
+Here they are one frozen dataclass.  TPU-specific knobs (backend selection,
+frame-bucket rounding, mask capacity) are added alongside.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+WEIGHT_SCALE = 127.0
+ACTIVATION_SCALE = 255.0
+SIGMOID_LOOKUP_SIZE = 1280
+SIGMOID_HALF_LOOKUP_SIZE = SIGMOID_LOOKUP_SIZE // 2
+SIGMOID_RESOLUTION = 100.0  # LUT index = round(x * 100)
+
+DEFAULT_CUTOFF = 3.0
+DEFAULT_INPUT_ALIGNMENT = 4
+DEFAULT_HIDDEN_ALIGNMENT = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Knobs for the TPU scoring engine."""
+
+    # Quantization ---------------------------------------------------------
+    #: clamp |w| above this before per-layer linear quantization
+    cutoff: float = DEFAULT_CUTOFF
+
+    # Compute path ---------------------------------------------------------
+    #: "pallas" = fused Pallas TPU kernels, "xla" = pure jnp/XLA ops,
+    #: "auto" = pallas on TPU, xla elsewhere (tests run on CPU).
+    backend: Literal["auto", "pallas", "xla"] = "auto"
+    #: run Pallas kernels in interpreter mode (CPU debugging / tests)
+    interpret: bool = False
+
+    # Batching -------------------------------------------------------------
+    #: frame counts are padded up to a multiple of this before jit so that
+    #: streams of utterances reuse a small set of compiled shapes.
+    frame_bucket: int = 128
+    #: Pallas block size over the frame axis
+    block_frames: int = 256
+    #: Pallas block size over the output-node axis
+    block_nodes: int = 512
+
+    # Lazy / masked output -------------------------------------------------
+    #: "reference" reproduces the reference softmax-over-zeros semantics for
+    #: inactive senones (/root/reference/src/cpp/dnn.cc:369-389);
+    #: "active_only" renormalizes over active senones instead.
+    lazy_semantics: Literal["reference", "active_only"] = "reference"
+    #: capacity (fraction of output nodes) for the gathered lazy matmul;
+    #: masks denser than this fall back to the dense masked path.
+    lazy_capacity: float = 0.6
+
+    def resolve_backend(self, platform: str) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "pallas" if platform == "tpu" else "xla"

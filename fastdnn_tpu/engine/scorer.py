@@ -1,0 +1,252 @@
+"""Scoring engine: jitted end-to-end forward passes over a QuantizedNet.
+
+Replaces the reference's CalculationContext + JNI + Java API layers
+(SURVEY.md §2 #8, #15, #16) with three jitted programs:
+
+  * `score(frames)`            — full posteriors, like QuantizedDnn.calculate
+                                 (/root/reference/src/java/suskun/nn/
+                                 QuantizedDnn.java:149-167)
+  * `score_masked(frames, masks)` — the whole lazy path in ONE device call:
+                                 the reference crosses JNI once per frame
+                                 (README.md:45); here masks are a
+                                 [frames, out] array and the masked output
+                                 layer runs batched on the MXU
+  * `LazyContext`              — API-parity shim over score_masked for
+                                 decoders that feed masks frame by frame
+                                 (QuantizedDnn.java:72-107)
+
+There is no per-call mutable context: XLA owns all buffers, so one Scorer is
+trivially shareable across threads (the reference needs a per-call
+CalculationContext to be thread-safe, MultiThreadedStressTest.java:48-61).
+
+Frame counts are bucketed (padded up to `config.frame_bucket`) so streaming
+workloads hit a small set of compiled shapes — jit-friendly static shapes
+instead of the reference's arbitrary-length batch loops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig
+from ..ops import matmul as xops
+from ..quant.quantize import QuantizedNet
+from ..utils.align import aligned_size
+
+
+def _default_platform() -> str:
+    return jax.devices()[0].platform
+
+
+def hidden_forward(net: QuantizedNet, frames: jax.Array, backend: str, interpret: bool):
+    """Input layer + all hidden layers -> shifted-int8 activations [B, H].
+
+    Equivalent of CalculateUntilLastHiddenLayer (/root/reference/src/cpp/
+    dnn.cc:402-424), minus the in-place shift/scale (fused at quantize time).
+    """
+    acts = xops.input_layer_step(frames, net.input_w, net.input_b)
+    if backend == "pallas":
+        from . import pallas_backend  # local import: TPU-only dependency path
+
+        for i in range(len(net.weights) - 1):
+            acts = pallas_backend.hidden_layer_step(
+                acts,
+                net.weights[i],
+                net.colsum128[i],
+                net.inv_scales[i],
+                net.biases[i],
+                interpret=interpret,
+            )
+    else:
+        for i in range(len(net.weights) - 1):
+            acts = xops.hidden_layer_step(
+                acts, net.weights[i], net.colsum128[i], net.inv_scales[i], net.biases[i]
+            )
+    return acts
+
+
+def output_logits(net: QuantizedNet, acts: jax.Array, backend: str, interpret: bool):
+    if backend == "pallas":
+        from . import pallas_backend
+
+        return pallas_backend.output_logits(
+            acts,
+            net.weights[-1],
+            net.colsum128[-1],
+            net.inv_scales[-1],
+            net.biases[-1],
+            interpret=interpret,
+        )
+    return xops.output_logits(
+        acts, net.weights[-1], net.colsum128[-1], net.inv_scales[-1], net.biases[-1]
+    )
+
+
+def score_fn(net: QuantizedNet, frames: jax.Array, *, backend: str = "xla", interpret: bool = False):
+    """Full forward pass -> posteriors f32 [B, out].  Jittable."""
+    acts = hidden_forward(net, frames, backend, interpret)
+    logits = output_logits(net, acts, backend, interpret)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def score_masked_fn(
+    net: QuantizedNet,
+    frames: jax.Array,
+    masks: jax.Array,
+    *,
+    backend: str = "xla",
+    interpret: bool = False,
+    semantics: str = "reference",
+):
+    """Lazy/masked forward pass -> posteriors f32 [B, out].  Jittable.
+
+    masks: [B, out], nonzero = senone active for that frame (the reference's
+    byte mask, /root/reference/src/java/suskun/nn/QuantizedDnn.java:88-93).
+    """
+    acts = hidden_forward(net, frames, backend, interpret)
+    logits = output_logits(net, acts, backend, interpret)
+    mask_bool = masks != 0
+    if semantics == "reference":
+        return xops.masked_softmax_reference(logits, mask_bool)
+    return xops.masked_softmax_active_only(logits, mask_bool)
+
+
+class Scorer:
+    """User-facing engine around one immutable QuantizedNet.
+
+    Thread-safe by construction: all state is immutable; jitted executables
+    are cached per input shape.
+    """
+
+    def __init__(self, net: QuantizedNet, config: Optional[EngineConfig] = None):
+        self.net = net
+        self.config = config or EngineConfig()
+        self._backend = self.config.resolve_backend(_default_platform())
+        kw = dict(backend=self._backend, interpret=self.config.interpret)
+        self._score = jax.jit(functools.partial(score_fn, **kw))
+        self._score_masked = jax.jit(
+            functools.partial(score_masked_fn, semantics=self.config.lazy_semantics, **kw)
+        )
+        self._hidden = jax.jit(functools.partial(hidden_forward, **kw))
+        self._masked_from_acts = jax.jit(
+            functools.partial(self._masked_from_acts_fn, **kw, semantics=self.config.lazy_semantics)
+        )
+
+    @staticmethod
+    def _masked_from_acts_fn(net, acts, masks, *, backend, interpret, semantics):
+        logits = output_logits(net, acts, backend, interpret)
+        mask_bool = masks != 0
+        if semantics == "reference":
+            return xops.masked_softmax_reference(logits, mask_bool)
+        return xops.masked_softmax_active_only(logits, mask_bool)
+
+    # -- helpers ------------------------------------------------------------
+
+    @property
+    def input_dim(self) -> int:
+        return self.net.input_dim
+
+    @property
+    def output_dim(self) -> int:
+        return self.net.output_dim
+
+    def _prepare(self, frames) -> tuple[jax.Array, int]:
+        """Validate dims, pad feature dim with zeros and bucket the frame
+        count to a compiled shape.  Returns (padded frames, true count)."""
+        frames = jnp.asarray(frames, dtype=jnp.float32)
+        if frames.ndim != 2:
+            raise ValueError(f"frames must be [n, dim], got shape {frames.shape}")
+        n, dim = frames.shape
+        if dim > self.input_dim:
+            raise ValueError(
+                f"input vector size {dim} must be <= network input size {self.input_dim}"
+            )
+        if dim < self.input_dim:  # zero-pad like the x4 alignment path
+            frames = jnp.pad(frames, ((0, 0), (0, self.input_dim - dim)))
+        bucket = aligned_size(max(n, 1), self.config.frame_bucket)
+        if bucket != n:
+            frames = jnp.pad(frames, ((0, bucket - n), (0, 0)))
+        return frames, n
+
+    # -- public API ----------------------------------------------------------
+
+    def score(self, frames) -> np.ndarray:
+        """Posteriors f32 [n, out] for a frame batch."""
+        frames = np.asarray(frames, dtype=np.float32)
+        if frames.ndim == 2 and frames.shape[0] == 0:
+            return np.zeros((0, self.output_dim), np.float32)
+        padded, n = self._prepare(frames)
+        out = self._score(self.net, padded)
+        return np.asarray(out[:n])
+
+    def score_device(self, frames: jax.Array) -> jax.Array:
+        """Device-resident variant (no host transfers, no padding)."""
+        return self._score(self.net, frames)
+
+    def score_masked(self, frames, masks) -> np.ndarray:
+        """Lazy path, whole utterance at once: masks [n, out] (nonzero=active)."""
+        frames = np.asarray(frames, dtype=np.float32)
+        masks = np.asarray(masks)
+        if masks.shape != (frames.shape[0], self.output_dim):
+            raise ValueError(
+                f"masks must be [n={frames.shape[0]}, out={self.output_dim}], got {masks.shape}"
+            )
+        padded, n = self._prepare(frames)
+        pad_n = padded.shape[0]
+        masks_p = np.zeros((pad_n, self.output_dim), dtype=np.uint8)
+        masks_p[:n] = masks != 0
+        out = self._score_masked(self.net, padded, jnp.asarray(masks_p))
+        return np.asarray(out[:n])
+
+    def new_lazy_context(self, input_vector_count: int) -> "LazyContext":
+        """API-parity with QuantizedDnn.getNewLazyContext
+        (/root/reference/src/java/suskun/nn/QuantizedDnn.java:100-107)."""
+        return LazyContext(self, input_vector_count)
+
+
+class LazyContext:
+    """Frame-by-frame lazy scoring, mirroring the reference LazyContext
+    (/root/reference/src/java/suskun/nn/QuantizedDnn.java:72-98):
+    `calculate_until_output(frames)` runs everything up to the last hidden
+    layer once and retains the activations; each
+    `calculate_for_output_nodes(mask)` scores one frame's active senones.
+
+    For throughput prefer Scorer.score_masked — this shim pays one device
+    call per frame, the same control-flow shape whose JNI version costs the
+    reference its lazy win (README.md:45).
+    """
+
+    def __init__(self, scorer: Scorer, input_vector_count: int):
+        self._scorer = scorer
+        self.input_vector_count = input_vector_count
+        self.current_vector_index = 0
+        self._acts: Optional[jax.Array] = None
+
+    def calculate_until_output(self, frames) -> None:
+        frames = np.asarray(frames, dtype=np.float32)
+        if frames.shape[0] != self.input_vector_count:
+            raise ValueError(
+                f"expected {self.input_vector_count} frames, got {frames.shape[0]}"
+            )
+        padded, _ = self._scorer._prepare(frames)
+        self._acts = self._scorer._hidden(self._scorer.net, padded)
+
+    def calculate_for_output_nodes(self, mask) -> np.ndarray:
+        """Posteriors f32 [out] for the next frame given its active-node mask."""
+        if self._acts is None:
+            raise RuntimeError("call calculate_until_output first")
+        i = self.current_vector_index
+        if i >= self.input_vector_count:
+            raise IndexError("all frames already consumed")
+        mask = np.asarray(mask).reshape(1, -1)
+        acts_i = jax.lax.dynamic_slice_in_dim(self._acts, i, 1, axis=0)
+        out = self._scorer._masked_from_acts(
+            self._scorer.net, acts_i, jnp.asarray(mask != 0)
+        )
+        self.current_vector_index += 1
+        return np.asarray(out[0])

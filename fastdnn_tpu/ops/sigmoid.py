@@ -1,0 +1,81 @@
+"""Quantized sigmoid: uint8 activations in [0, 255].
+
+The reference quantizes sigmoid outputs through a 1280-entry lookup table at
+0.01 input resolution (/root/reference/src/cpp/dnn.h:23-47, dnn.cc:100-121):
+
+    k = round(x * 100)
+    k <= -640 -> 0;  k >= 640 -> 255
+    else      -> round(sigmoid(k / 100) * 255)
+
+On TPU a gather through a LUT would waste the VPU; the closed form above *is*
+the table, so we compute it directly — bit-exact with the table by
+construction (both roundings are C round(), i.e. half-away-from-zero).
+`build_reference_lut` reconstructs the table itself for tests.
+
+Activations are carried through the engine as **zero-point-shifted int8**
+(q - 128) so both matmul operands are int8 on the MXU; see
+fastdnn_tpu/ops/matmul.py for the correction-term algebra.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    ACTIVATION_SCALE,
+    SIGMOID_HALF_LOOKUP_SIZE,
+    SIGMOID_RESOLUTION,
+)
+
+ZERO_POINT = 128  # uint8 activation zero point used for the int8 MXU trick
+
+
+def _round_half_away(x):
+    """C round(): round half away from zero (jnp.round is half-to-even)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def quantized_sigmoid_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> quantized sigmoid counts in [0, 255], dtype uint8."""
+    half = float(SIGMOID_HALF_LOOKUP_SIZE)
+    k = _round_half_away(x * SIGMOID_RESOLUTION)
+    kc = jnp.clip(k, -half, half)
+    s = 1.0 / (1.0 + jnp.exp(-kc / SIGMOID_RESOLUTION))
+    q = jnp.floor(s * ACTIVATION_SCALE + 0.5)  # s >= 0: half-up == half-away
+    q = jnp.where(k <= -half, 0.0, q)
+    q = jnp.where(k >= half, ACTIVATION_SCALE, q)
+    return q.astype(jnp.uint8)
+
+
+def quantized_sigmoid_shifted_i8(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> (quantized sigmoid - 128) as int8, the engine's wire format."""
+    q = quantized_sigmoid_u8(x).astype(jnp.int32) - ZERO_POINT
+    return q.astype(jnp.int8)
+
+
+def build_reference_lut() -> np.ndarray:
+    """The reference's LUT, rebuilt with float64 like the C++ constructor
+    (/root/reference/src/cpp/dnn.cc:100-115).  Test oracle only."""
+    half = SIGMOID_HALF_LOOKUP_SIZE
+    i = np.arange(-half, half, dtype=np.float64)
+    k = i / 100.0
+    sig = 1.0 / (1.0 + np.exp(-k))
+    # np.round is half-to-even; emulate C round() half-away-from-zero
+    q = np.floor(sig * ACTIVATION_SCALE + 0.5)
+    return q.astype(np.uint8)
+
+
+def reference_lut_lookup(x: np.ndarray) -> np.ndarray:
+    """QuantizedSigmoid::get via the actual table (/root/reference/src/cpp/
+    dnn.h:35-42).  Test oracle only."""
+    lut = build_reference_lut()
+    half = SIGMOID_HALF_LOOKUP_SIZE
+    x = np.asarray(x, dtype=np.float32)
+    k = np.sign(x) * np.floor(np.abs(x) * 100.0 + 0.5)
+    k = k.astype(np.int64)
+    out = np.zeros(x.shape, dtype=np.uint8)
+    mid = (k > -half) & (k < half)
+    out[mid] = lut[(k[mid] + half)]
+    out[k >= half] = int(ACTIVATION_SCALE)
+    return out

@@ -1,0 +1,134 @@
+"""Per-layer symmetric int8 weight quantization -> QuantizedNet pytree.
+
+Scheme (spec: QuantizedSimdLayer ctor, /root/reference/src/cpp/dnn.cc:460-509):
+  * clamp weights to [-cutoff, +cutoff] (default cutoff 3.0,
+    /root/reference/src/java/suskun/nn/QuantizedDnn.java:68-70)
+  * layer multiplier = round(127 / absmax(clamped))   (dnn.cc:467-479)
+  * w_q = round(w_clamped * multiplier) as int8       (dnn.cc:483-502)
+  * biases stay float (dnn.cc:504-508); the input layer stays float because
+    input dynamic range is too large to quantize (dnn.cc:217-218)
+  * dequantization after an int dot with uint8 sigmoid activations divides by
+    (multiplier * 255)                                (dnn.cc:297-298)
+
+Deliberate divergences from the reference (SURVEY.md §2 #7):
+  * the reference fails to clamp positive outliers before rounding (its
+    max-side test reads `minWeight > maxWeight`, dnn.cc:496-498) so w > cutoff
+    can overflow signed char; we clamp both sides and clip to [-128, 127].
+  * accumulation here is exact int32 (MXU); the reference's
+    _mm_maddubs_epi16 saturates pairwise sums at 16 bits (dnn.cc:340), a
+    lossy quirk we do not replicate.
+Both make this engine strictly *more* accurate w.r.t. the float model; parity
+tests gate against the float oracle at the reference's own tolerance
+(FuncTest.java:59-74).
+
+Weight layout is [input_dim, output_dim] (MXU-shaped `x @ W`).  For every
+quantized layer we precompute `colsum128 = 128 * sum_k(w_q[k, n])` (int32),
+the zero-point correction that lets uint8 activations ride the s8 x s8 MXU:
+
+    sum_k a_u8[k] * w[k, n] = sum_k (a_u8[k] - 128) * w[k, n] + colsum128[n]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ACTIVATION_SCALE, WEIGHT_SCALE, EngineConfig
+from ..models.feedforward import FeedForwardNet, fuse_transform
+
+
+def _round_half_away(x):
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QuantizedNet:
+    """Immutable quantized network pytree.
+
+    input_w/input_b: float first layer (f32 [in, h0], [h0]) with the feature
+        transform already fused in (shift/scale are gone by construction).
+    weights[i]: int8 [in_i, out_i] for hidden layers 1..n-1 and the output
+        layer (the last entry doubles as the output layer, like the
+        reference, /root/reference/src/cpp/dnn.cc:522).
+    colsum128[i]: int32 [out_i] zero-point correction (see module docstring).
+    biases[i]: f32 [out_i] (never quantized).
+    inv_scales[i]: f32 scalar 1 / (multiplier_i * 255) — the dequantization
+        coefficient (dnn.cc:297-298).
+    multipliers[i]: f32 scalar, kept for introspection/tests.
+    """
+
+    input_w: jax.Array
+    input_b: jax.Array
+    weights: Tuple[jax.Array, ...]
+    colsum128: Tuple[jax.Array, ...]
+    biases: Tuple[jax.Array, ...]
+    inv_scales: Tuple[jax.Array, ...]
+    multipliers: Tuple[jax.Array, ...]
+
+    @property
+    def input_dim(self) -> int:
+        return self.input_w.shape[0]
+
+    @property
+    def output_dim(self) -> int:
+        return self.weights[-1].shape[1]
+
+    @property
+    def layer_count(self) -> int:
+        """Total layer count including the input layer."""
+        return len(self.weights) + 1
+
+    def layer_dims(self):
+        return [self.input_w.shape[1]] + [w.shape[1] for w in self.weights]
+
+
+def quantize_layer(w: jax.Array, cutoff: float):
+    """Quantize one layer's [in, out] float weights.
+
+    Returns (w_q int8, multiplier f32 scalar).
+    """
+    clamped = jnp.clip(w, -cutoff, cutoff)
+    absmax = jnp.max(jnp.abs(clamped))
+    multiplier = _round_half_away(WEIGHT_SCALE / absmax)
+    w_q = jnp.clip(_round_half_away(clamped * multiplier), -128, 127)
+    return w_q.astype(jnp.int8), multiplier.astype(jnp.float32)
+
+
+def quantize_net(
+    net: FeedForwardNet,
+    cutoff: float = EngineConfig.cutoff,
+    *,
+    fuse_input_transform: bool = True,
+) -> QuantizedNet:
+    """FeedForwardNet -> QuantizedNet.
+
+    The input layer stays float; shift/scale are fused into it by default
+    (set fuse_input_transform=False only if the net was already fused).
+    """
+    if cutoff <= 0:
+        raise ValueError(f"weight cutoff must be positive, got {cutoff}")
+    if net.layer_count < 2:
+        raise ValueError("need at least an input layer and an output layer")
+    if fuse_input_transform:
+        net = fuse_transform(net)
+    weights, colsums, biases, inv_scales, multipliers = [], [], [], [], []
+    for w, b in zip(net.weights[1:], net.biases[1:]):
+        w_q, mult = quantize_layer(w, cutoff)
+        weights.append(w_q)
+        colsums.append(128 * jnp.sum(w_q.astype(jnp.int32), axis=0))
+        biases.append(b.astype(jnp.float32))
+        inv_scales.append((1.0 / (mult * ACTIVATION_SCALE)).astype(jnp.float32))
+        multipliers.append(mult)
+    return QuantizedNet(
+        input_w=net.weights[0].astype(jnp.float32),
+        input_b=net.biases[0].astype(jnp.float32),
+        weights=tuple(weights),
+        colsum128=tuple(colsums),
+        biases=tuple(biases),
+        inv_scales=tuple(inv_scales),
+        multipliers=tuple(multipliers),
+    )
