@@ -218,14 +218,20 @@ def random_net(
     input_dim: int,
     hidden_widths: Sequence[int],
     output_dim: int,
-    w_std: float = 0.4,
+    w_std: float | None = None,
 ) -> FeedForwardNet:
-    """Random test/benchmark net with the reference topology family."""
+    """Random test/benchmark net with the reference topology family.
+
+    Weights default to 1/sqrt(fan_in) scaling so pre-activations land in the
+    sigmoid's useful range, like a trained net — random unscaled weights
+    saturate every sigmoid and exaggerate quantization error unrealistically.
+    """
     dims = [input_dim, *hidden_widths, output_dim]
     ws, bs = [], []
     for i in range(len(dims) - 1):
         key, k1, k2 = jax.random.split(key, 3)
-        ws.append(jax.random.normal(k1, (dims[i], dims[i + 1]), jnp.float32) * w_std)
+        std = w_std if w_std is not None else dims[i] ** -0.5
+        ws.append(jax.random.normal(k1, (dims[i], dims[i + 1]), jnp.float32) * std)
         bs.append(jax.random.normal(k2, (dims[i + 1],), jnp.float32) * 0.1)
     key, k1, k2 = jax.random.split(key, 3)
     shift = jax.random.normal(k1, (input_dim,), jnp.float32)

@@ -1,0 +1,118 @@
+"""Quantization math tests: sigmoid LUT bit-exactness, multiplier math,
+weight clamping, and the zero-point colsum identity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastdnn_tpu.config import ACTIVATION_SCALE, WEIGHT_SCALE
+from fastdnn_tpu.models.feedforward import random_net
+from fastdnn_tpu.ops import sigmoid as qs
+from fastdnn_tpu.ops.matmul import int8_matmul
+from fastdnn_tpu.quant.quantize import quantize_layer, quantize_net
+
+
+class TestQuantizedSigmoid:
+    def test_lut_constants(self):
+        """Spot-check the rebuilt LUT against hand-derived reference values
+        (recipe: /root/reference/src/cpp/dnn.cc:100-115)."""
+        lut = qs.build_reference_lut()
+        assert lut.shape == (1280,)
+        assert lut[640] == 128  # sigmoid(0)*255 = 127.5 -> round half away -> 128
+        assert lut[0] == round(1 / (1 + np.exp(6.4)) * 255)  # x = -6.4
+        assert lut[-1] == round(1 / (1 + np.exp(-6.39)) * 255)  # x = +6.39
+        # monotone non-decreasing
+        assert np.all(np.diff(lut.astype(np.int32)) >= 0)
+
+    def test_closed_form_matches_lut_on_grid(self):
+        """The closed form must reproduce the LUT exactly at every entry."""
+        half = 640
+        xs = (np.arange(-half, half) / 100.0).astype(np.float32)
+        ours = np.asarray(qs.quantized_sigmoid_u8(jnp.asarray(xs)))
+        lut = qs.build_reference_lut()
+        np.testing.assert_array_equal(ours, lut)
+
+    def test_closed_form_matches_lut_lookup_random(self, rng):
+        """On random inputs, match the table-lookup oracle to <=1 count
+        (half-way rounding of k may differ at f32 representation edges)."""
+        xs = rng.uniform(-10, 10, 20000).astype(np.float32)
+        ours = np.asarray(qs.quantized_sigmoid_u8(jnp.asarray(xs))).astype(np.int32)
+        oracle = qs.reference_lut_lookup(xs).astype(np.int32)
+        diff = np.abs(ours - oracle)
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.001
+
+    def test_saturation(self):
+        xs = jnp.asarray([-100.0, -6.4, -6.395, 6.395, 6.4, 100.0])
+        out = np.asarray(qs.quantized_sigmoid_u8(xs))
+        assert out[0] == 0 and out[1] == 0 and out[2] == 0
+        assert out[3] == 255 and out[4] == 255 and out[5] == 255
+
+    def test_shifted_i8(self):
+        xs = jnp.asarray([-100.0, 0.0, 100.0])
+        out = np.asarray(qs.quantized_sigmoid_shifted_i8(xs))
+        assert out.dtype == np.int8
+        np.testing.assert_array_equal(out, [-128, 0, 127])
+
+
+class TestQuantizeLayer:
+    def test_multiplier_math(self):
+        """multiplier = round(127 / absmax(clamped)) (dnn.cc:467-479)."""
+        w = jnp.asarray([[0.5, -2.0], [1.0, 0.25]])
+        w_q, mult = quantize_layer(w, cutoff=3.0)
+        assert float(mult) == round(127 / 2.0)  # = 64
+        np.testing.assert_array_equal(
+            np.asarray(w_q), [[32, -128], [64, 16]]
+        )  # round(0.5*64)=32, round(-2*64)=-128
+
+    def test_cutoff_clamps_both_sides(self):
+        """We clamp positive outliers too (the reference's positive-side
+        clamp is dead code, dnn.cc:496-498 / SURVEY.md §2 #7)."""
+        w = jnp.asarray([[5.0, -5.0, 3.0, -3.0]])
+        w_q, mult = quantize_layer(w, cutoff=3.0)
+        assert float(mult) == round(127 / 3.0)  # = 42
+        np.testing.assert_array_equal(np.asarray(w_q), [[126, -126, 126, -126]])
+
+    def test_int8_range(self, rng):
+        w = jnp.asarray(rng.standard_normal((64, 64)).astype(np.float32) * 2)
+        w_q, _ = quantize_layer(w, cutoff=3.0)
+        assert w_q.dtype == jnp.int8
+        aw = np.asarray(w_q).astype(np.int32)
+        assert aw.min() >= -128 and aw.max() <= 127
+
+
+class TestQuantizeNet:
+    def test_structure(self, small_net):
+        qnet = quantize_net(small_net, cutoff=3.0)
+        assert qnet.input_dim == small_net.input_dim
+        assert qnet.output_dim == small_net.output_dim
+        assert qnet.layer_count == small_net.layer_count
+        assert len(qnet.weights) == small_net.layer_count - 1
+        for w in qnet.weights:
+            assert w.dtype == jnp.int8
+        for b in qnet.biases:
+            assert b.dtype == jnp.float32
+
+    def test_rejects_bad_cutoff(self, small_net):
+        import pytest
+
+        with pytest.raises(ValueError):
+            quantize_net(small_net, cutoff=0.0)
+
+    def test_colsum_identity(self, rng):
+        """(a_u8 . w) == ((a_u8 - 128) . w) + colsum128 with exact int32."""
+        a_u8 = rng.integers(0, 256, (16, 64), dtype=np.uint8)
+        w = rng.integers(-128, 128, (64, 32)).astype(np.int8)
+        colsum = 128 * w.astype(np.int32).sum(axis=0)
+        shifted = (a_u8.astype(np.int32) - 128).astype(np.int8)
+        acc = np.asarray(int8_matmul(jnp.asarray(shifted), jnp.asarray(w)))
+        true = a_u8.astype(np.int64) @ w.astype(np.int64)
+        np.testing.assert_array_equal(acc + colsum, true)
+
+    def test_is_pytree(self, small_net):
+        qnet = quantize_net(small_net)
+        leaves = jax.tree_util.tree_leaves(qnet)
+        assert all(hasattr(l, "dtype") for l in leaves)
+        # jit-able as an argument
+        f = jax.jit(lambda q: q.inv_scales[0] * 2)
+        f(qnet)
