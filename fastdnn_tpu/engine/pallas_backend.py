@@ -1,0 +1,37 @@
+"""Thin adapter from the engine's layer-step signatures to the Pallas
+kernels (fastdnn_tpu/ops/pallas_kernels.py).  Keeping this indirection means
+scorer.py stays backend-agnostic and the XLA path never imports Pallas."""
+
+from __future__ import annotations
+
+import jax
+
+from ..ops import pallas_kernels as pk
+
+
+def hidden_layer_step(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    return pk.fused_hidden_layer(
+        acts_i8, w_i8, colsum128_i32, inv_scale_f32, bias_f32, interpret=interpret
+    )
+
+
+def output_logits(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    return pk.output_layer_logits(
+        acts_i8, w_i8, colsum128_i32, inv_scale_f32, bias_f32, interpret=interpret
+    )

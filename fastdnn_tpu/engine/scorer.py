@@ -87,10 +87,23 @@ def output_logits(net: QuantizedNet, acts: jax.Array, backend: str, interpret: b
     )
 
 
-def score_fn(net: QuantizedNet, frames: jax.Array, *, backend: str = "xla", interpret: bool = False):
-    """Full forward pass -> posteriors f32 [B, out].  Jittable."""
+def score_fn(
+    net: QuantizedNet,
+    frames: jax.Array,
+    *,
+    backend: str = "xla",
+    interpret: bool = False,
+    out_dim: Optional[int] = None,
+):
+    """Full forward pass -> posteriors f32 [B, out].  Jittable.
+
+    `out_dim` slices away MXU padding columns (pad_qnet_for_tpu) before the
+    softmax — padded logits are exactly 0.0 and must not join the denominator.
+    """
     acts = hidden_forward(net, frames, backend, interpret)
     logits = output_logits(net, acts, backend, interpret)
+    if out_dim is not None and out_dim != logits.shape[-1]:
+        logits = logits[:, :out_dim]
     return jax.nn.softmax(logits, axis=-1)
 
 
@@ -102,6 +115,7 @@ def score_masked_fn(
     backend: str = "xla",
     interpret: bool = False,
     semantics: str = "reference",
+    out_dim: Optional[int] = None,
 ):
     """Lazy/masked forward pass -> posteriors f32 [B, out].  Jittable.
 
@@ -110,6 +124,8 @@ def score_masked_fn(
     """
     acts = hidden_forward(net, frames, backend, interpret)
     logits = output_logits(net, acts, backend, interpret)
+    if out_dim is not None and out_dim != logits.shape[-1]:
+        logits = logits[:, :out_dim]
     mask_bool = masks != 0
     if semantics == "reference":
         return xops.masked_softmax_reference(logits, mask_bool)
@@ -124,22 +140,36 @@ class Scorer:
     """
 
     def __init__(self, net: QuantizedNet, config: Optional[EngineConfig] = None):
-        self.net = net
         self.config = config or EngineConfig()
         self._backend = self.config.resolve_backend(_default_platform())
-        kw = dict(backend=self._backend, interpret=self.config.interpret)
+        self._output_dim = net.output_dim
+        self._input_dim = net.input_dim
+        if self._backend == "pallas":
+            from ..quant.quantize import pad_qnet_for_tpu
+
+            net = pad_qnet_for_tpu(net)
+        self.net = net
+        kw = dict(
+            backend=self._backend, interpret=self.config.interpret, out_dim=self._output_dim
+        )
         self._score = jax.jit(functools.partial(score_fn, **kw))
         self._score_masked = jax.jit(
             functools.partial(score_masked_fn, semantics=self.config.lazy_semantics, **kw)
         )
-        self._hidden = jax.jit(functools.partial(hidden_forward, **kw))
+        self._hidden = jax.jit(
+            functools.partial(
+                hidden_forward, backend=self._backend, interpret=self.config.interpret
+            )
+        )
         self._masked_from_acts = jax.jit(
             functools.partial(self._masked_from_acts_fn, **kw, semantics=self.config.lazy_semantics)
         )
 
     @staticmethod
-    def _masked_from_acts_fn(net, acts, masks, *, backend, interpret, semantics):
+    def _masked_from_acts_fn(net, acts, masks, *, backend, interpret, semantics, out_dim):
         logits = output_logits(net, acts, backend, interpret)
+        if out_dim != logits.shape[-1]:
+            logits = logits[:, :out_dim]
         mask_bool = masks != 0
         if semantics == "reference":
             return xops.masked_softmax_reference(logits, mask_bool)
@@ -149,11 +179,12 @@ class Scorer:
 
     @property
     def input_dim(self) -> int:
-        return self.net.input_dim
+        return self._input_dim
 
     @property
     def output_dim(self) -> int:
-        return self.net.output_dim
+        """True (unpadded) senone count."""
+        return self._output_dim
 
     def _prepare(self, frames) -> tuple[jax.Array, int]:
         """Validate dims, pad feature dim with zeros and bucket the frame
@@ -166,8 +197,8 @@ class Scorer:
             raise ValueError(
                 f"input vector size {dim} must be <= network input size {self.input_dim}"
             )
-        if dim < self.input_dim:  # zero-pad like the x4 alignment path
-            frames = jnp.pad(frames, ((0, 0), (0, self.input_dim - dim)))
+        if dim < self.net.input_dim:  # zero-pad like the x4 alignment path
+            frames = jnp.pad(frames, ((0, 0), (0, self.net.input_dim - dim)))
         bucket = aligned_size(max(n, 1), self.config.frame_bucket)
         if bucket != n:
             frames = jnp.pad(frames, ((0, bucket - n), (0, 0)))

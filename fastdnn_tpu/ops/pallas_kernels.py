@@ -1,0 +1,163 @@
+"""Pallas TPU kernels: the hot path of the quantized engine.
+
+Two kernels replace the reference's entire per-layer loop nest
+(quantizedNodeSum x nodes x frames, /root/reference/src/cpp/dnn.cc:289-349):
+
+  * `fused_hidden_layer` — one MXU pass per hidden layer computing
+      s8xs8 matmul -> +colsum128 zero-point fix -> *inv_scale -> +bias
+      -> quantized sigmoid -> shifted int8
+    in VMEM, so the only HBM traffic per layer is int8 in, int8 weights,
+    int8 out.  This fuses reference components #1, #2, #5, #6 (SURVEY.md §2)
+    into a single kernel.
+
+  * `output_layer_logits` — same matmul with a float epilogue producing
+    pre-softmax logits (components #1, #2, #5 on the output layer,
+    dnn.cc:428-449).  Softmax (and lazy masking) stays in XLA where it fuses
+    with whatever consumes the logits.
+
+Both expect MXU-padded operands: frame count a multiple of the frame block,
+all node dims multiples of 128 (see quant.quantize.pad_qnet_for_tpu).  The
+grid iterates frames-fastest so a weight block is loaded once and reused
+across every frame block (the reference's batch_size cache-blocking insight,
+dnn.cc:301-317, transposed to VMEM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sigmoid import ZERO_POINT
+from ..config import ACTIVATION_SCALE, SIGMOID_HALF_LOOKUP_SIZE, SIGMOID_RESOLUTION
+
+LANES = 128
+
+
+def _quantized_sigmoid_shifted(lin: jax.Array) -> jax.Array:
+    """In-kernel quantized sigmoid -> shifted int8 (see ops/sigmoid.py)."""
+    half = float(SIGMOID_HALF_LOOKUP_SIZE)
+    k = jnp.sign(lin) * jnp.floor(jnp.abs(lin) * SIGMOID_RESOLUTION + 0.5)
+    kc = jnp.clip(k, -half, half)
+    s = 1.0 / (1.0 + jnp.exp(-kc / SIGMOID_RESOLUTION))
+    q = jnp.floor(s * ACTIVATION_SCALE + 0.5)
+    q = jnp.where(k <= -half, 0.0, q)
+    q = jnp.where(k >= half, ACTIVATION_SCALE, q)
+    return (q - ZERO_POINT).astype(jnp.int8)
+
+
+def _hidden_kernel(x_ref, w_ref, colsum_ref, bias_ref, inv_scale_ref, out_ref):
+    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+    lin = (acc + colsum_ref[:]).astype(jnp.float32) * inv_scale_ref[0, 0] + bias_ref[:]
+    out_ref[:] = _quantized_sigmoid_shifted(lin)
+
+
+def _logits_kernel(x_ref, w_ref, colsum_ref, bias_ref, inv_scale_ref, out_ref):
+    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+    out_ref[:] = (acc + colsum_ref[:]).astype(jnp.float32) * inv_scale_ref[0, 0] + bias_ref[:]
+
+
+def _check_shapes(x, w, colsum, bias, block_frames, block_nodes):
+    b, k = x.shape
+    k2, n = w.shape
+    if k != k2:
+        raise ValueError(f"K mismatch: activations {k} vs weights {k2}")
+    if colsum.shape != (n,) or bias.shape != (n,):
+        raise ValueError("colsum/bias must be [N]")
+    if b % block_frames or n % block_nodes or k % LANES or n % LANES or b % 32:
+        raise ValueError(
+            f"pallas path needs padded shapes: B={b} must be a multiple of 32 "
+            f"and of the frame block {block_frames}; N={n} a multiple of 128 "
+            f"and of the node block {block_nodes}; K={k} a multiple of 128 "
+            "(use pad_qnet_for_tpu and frame bucketing)"
+        )
+
+
+def _layer_call(kernel, out_dtype, x, w, colsum, bias, inv_scale, *, block_frames, block_nodes, interpret):
+    b, k = x.shape
+    n = w.shape[1]
+    bm = min(block_frames, b)
+    while b % bm:  # engine buckets frames to x128, so this terminates at 128
+        bm //= 2
+    bn = min(block_nodes, n)
+    while n % bn:  # node dims are padded to x128 (pad_qnet_for_tpu)
+        bn //= 2
+    _check_shapes(x, w, colsum, bias, bm, bn)
+    grid = (n // bn, b // bm)  # frames iterate fastest: weight block reused
+    flops = 2 * b * n * k
+    bytes_accessed = b * k + k * n + b * n * (1 if out_dtype == jnp.int8 else 4) + 4 * n * 2
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=b * n
+        ),
+        interpret=interpret,
+    )(x, w, colsum.reshape(1, n), bias.reshape(1, n), inv_scale.reshape(1, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("block_frames", "block_nodes", "interpret"))
+def fused_hidden_layer(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    *,
+    block_frames: int = 256,
+    block_nodes: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """One quantized hidden layer on the MXU: int8 [B,K] x int8 [K,N] ->
+    shifted-int8 activations [B,N]."""
+    return _layer_call(
+        _hidden_kernel,
+        jnp.int8,
+        acts_i8,
+        w_i8,
+        colsum128_i32,
+        bias_f32,
+        jnp.asarray(inv_scale_f32, jnp.float32),
+        block_frames=block_frames,
+        block_nodes=block_nodes,
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_frames", "block_nodes", "interpret"))
+def output_layer_logits(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    *,
+    block_frames: int = 256,
+    block_nodes: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Output layer pre-softmax logits f32 [B, N] on the MXU."""
+    return _layer_call(
+        _logits_kernel,
+        jnp.float32,
+        acts_i8,
+        w_i8,
+        colsum128_i32,
+        bias_f32,
+        jnp.asarray(inv_scale_f32, jnp.float32),
+        block_frames=block_frames,
+        block_nodes=block_nodes,
+        interpret=interpret,
+    )

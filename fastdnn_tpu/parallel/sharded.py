@@ -1,0 +1,166 @@
+"""Sharded scoring: data-parallel frames x tensor-parallel output layer.
+
+Two equivalent implementations, both returning posteriors identical to the
+single-device engine:
+
+  * `score_gspmd` — `jax.jit` with NamedShardings; XLA's SPMD partitioner
+    inserts the collectives.  The production path: composes with any backend
+    and lets XLA fuse.
+  * `score_shard_map` — explicit `shard_map` with hand-placed collectives
+    (pmax/psum over the model axis for the globally-correct softmax).  The
+    didactic/verification path, and the place where custom Pallas
+    collectives would slot in.
+
+Softmax across a node-sharded output layer needs a global max and a global
+sum (SURVEY.md §5 "Multi-host numerics"): with logits z sharded over
+MODEL_AXIS,
+
+    m = pmax(max(z_local));  s = psum(sum(exp(z_local - m)))
+    softmax = exp(z_local - m) / s
+
+which is exact (not approximate) across shardings.  Masked (lazy) semantics
+compose the same way because the reference's zero-logit convention
+(/root/reference/src/cpp/dnn.cc:369-389) is just a different z.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6 public API, else experimental
+    from jax import shard_map as _shard_map_mod
+
+    shard_map = _shard_map_mod
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..engine.scorer import hidden_forward, output_logits
+from ..quant.quantize import QuantizedNet
+from .mesh import DATA_AXIS, MODEL_AXIS, frames_sharding, qnet_shardings
+
+
+# ---------------------------------------------------------------------------
+# GSPMD path
+# ---------------------------------------------------------------------------
+
+def make_gspmd_scorer(
+    mesh: Mesh,
+    *,
+    backend: str = "xla",
+    interpret: bool = False,
+    out_dim: Optional[int] = None,
+    semantics: str = "reference",
+):
+    """Returns jitted (score, score_masked) over the mesh.
+
+    The returned callables take (qnet, frames[, masks]) already or not yet
+    device_put — jit moves them per the declared shardings either way.
+    """
+    from ..engine.scorer import score_fn, score_masked_fn
+
+    fs = frames_sharding(mesh)
+    out_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+
+    def _net_shardings(qnet: QuantizedNet):
+        return qnet_shardings(mesh)(qnet)
+
+    def score(qnet, frames):
+        shardings = (_net_shardings(qnet), fs)
+        f = jax.jit(
+            functools.partial(score_fn, backend=backend, interpret=interpret, out_dim=out_dim),
+            in_shardings=shardings,
+            out_shardings=out_sharding,
+        )
+        return f(qnet, frames)
+
+    def score_masked(qnet, frames, masks):
+        mask_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+        shardings = (_net_shardings(qnet), fs, mask_sharding)
+        f = jax.jit(
+            functools.partial(
+                score_masked_fn,
+                backend=backend,
+                interpret=interpret,
+                out_dim=out_dim,
+                semantics=semantics,
+            ),
+            in_shardings=shardings,
+            out_shardings=out_sharding,
+        )
+        return f(qnet, frames, masks)
+
+    return score, score_masked
+
+
+# ---------------------------------------------------------------------------
+# Explicit shard_map path
+# ---------------------------------------------------------------------------
+
+def _sharded_softmax(z_local: jax.Array) -> jax.Array:
+    """Exact softmax over an output axis sharded on MODEL_AXIS."""
+    m_local = jnp.max(z_local, axis=-1, keepdims=True)
+    m = jax.lax.pmax(m_local, MODEL_AXIS)
+    e = jnp.exp(z_local - m)
+    s = jax.lax.psum(jnp.sum(e, axis=-1, keepdims=True), MODEL_AXIS)
+    return e / s
+
+
+def score_shard_map(
+    qnet: QuantizedNet,
+    frames: jax.Array,
+    mesh: Mesh,
+    *,
+    masks: Optional[jax.Array] = None,
+    backend: str = "xla",
+    interpret: bool = False,
+    semantics: str = "reference",
+) -> jax.Array:
+    """Explicit-collective scoring.  frames [B, in] with B divisible by the
+    data axis; output dim must be divisible by the model axis (pad the net
+    with pad_qnet_for_tpu(lanes=128*model) if needed).  Returns posteriors
+    [B, out] sharded (data, model).
+    """
+    n_layers = len(qnet.weights)
+    net_spec = QuantizedNet(
+        input_w=P(),
+        input_b=P(),
+        weights=tuple([P()] * (n_layers - 1) + [P(None, MODEL_AXIS)]),
+        colsum128=tuple([P()] * (n_layers - 1) + [P(MODEL_AXIS)]),
+        biases=tuple([P()] * (n_layers - 1) + [P(MODEL_AXIS)]),
+        inv_scales=tuple([P()] * n_layers),
+        multipliers=tuple([P()] * n_layers),
+    )
+    in_specs = [net_spec, P(DATA_AXIS, None)]
+    args = [qnet, frames]
+    if masks is not None:
+        in_specs.append(P(DATA_AXIS, MODEL_AXIS))
+        args.append(masks)
+
+    def body(net, local_frames, *rest):
+        acts = hidden_forward(net, local_frames, backend, interpret)
+        z = output_logits(net, acts, backend, interpret)
+        if rest:
+            mask_bool = rest[0] != 0
+            if semantics == "reference":
+                z = jnp.where(mask_bool, z, 0.0)
+                return _sharded_softmax(z)
+            neg = jnp.finfo(z.dtype).min
+            zm = jnp.where(mask_bool, z, neg)
+            m = jax.lax.pmax(jnp.max(zm, axis=-1, keepdims=True), MODEL_AXIS)
+            e = jnp.where(mask_bool, jnp.exp(zm - m), 0.0)
+            s = jax.lax.psum(jnp.sum(e, axis=-1, keepdims=True), MODEL_AXIS)
+            return e / s
+        return _sharded_softmax(z)
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P(DATA_AXIS, MODEL_AXIS),
+    )
+    return jax.jit(f)(*args)

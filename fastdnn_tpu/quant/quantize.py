@@ -132,3 +132,43 @@ def quantize_net(
         inv_scales=tuple(inv_scales),
         multipliers=tuple(multipliers),
     )
+
+
+def _pad2(a: jax.Array, rows: int, cols: int) -> jax.Array:
+    return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
+
+
+def pad_qnet_for_tpu(qnet: QuantizedNet, lanes: int = 128) -> QuantizedNet:
+    """Zero-pad every node dimension up to a multiple of `lanes` (128) so the
+    Pallas kernels tile the MXU exactly — the TPU analog of the reference's
+    x4/x16 SSE alignment (README.md:22).
+
+    Padding is mathematically inert end to end: padded weight columns carry
+    zero weights and zero bias, so padded hidden activations quantize to
+    sigmoid(0) whose shifted-int8 value is 0 and whose outgoing weights are
+    zero rows; padded output logits are exactly 0.0 and callers slice logits
+    to the true output dim before softmax.
+    """
+
+    def up(n: int) -> int:
+        return -(-n // lanes) * lanes
+
+    in_w = qnet.input_w
+    h0 = up(in_w.shape[1])
+    in_w = _pad2(in_w, in_w.shape[0], h0)
+    in_b = jnp.pad(qnet.input_b, (0, h0 - qnet.input_b.shape[0]))
+    weights, colsums, biases = [], [], []
+    for w, cs, b in zip(qnet.weights, qnet.colsum128, qnet.biases):
+        k, n = up(w.shape[0]), up(w.shape[1])
+        weights.append(_pad2(w, k, n))
+        colsums.append(jnp.pad(cs, (0, n - cs.shape[0])))
+        biases.append(jnp.pad(b, (0, n - b.shape[0])))
+    return QuantizedNet(
+        input_w=in_w,
+        input_b=in_b,
+        weights=tuple(weights),
+        colsum128=tuple(colsums),
+        biases=tuple(biases),
+        inv_scales=qnet.inv_scales,
+        multipliers=qnet.multipliers,
+    )

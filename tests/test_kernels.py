@@ -1,0 +1,80 @@
+"""Pallas kernel tests (interpreter mode on CPU).
+
+The XLA ops (fastdnn_tpu/ops/matmul.py) are the oracle: integer matmul is
+exact everywhere, so the fused kernels must match bit-for-bit on int8
+outputs and to f32 roundoff on logits.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastdnn_tpu.ops import matmul as xops
+from fastdnn_tpu.ops import pallas_kernels as pk
+
+
+def rand_layer(rng, b, k, n):
+    x = rng.integers(-128, 128, (b, k)).astype(np.int8)
+    w = rng.integers(-128, 128, (k, n)).astype(np.int8)
+    cs = 128 * w.astype(np.int32).sum(axis=0)
+    inv = np.float32(1.0 / (42 * 255))
+    bias = rng.standard_normal(n).astype(np.float32)
+    return (jnp.asarray(x), jnp.asarray(w), jnp.asarray(cs), jnp.asarray(inv), jnp.asarray(bias))
+
+
+@pytest.mark.parametrize("b,k,n", [(128, 256, 384), (256, 128, 128), (384, 512, 640)])
+def test_fused_hidden_layer_matches_xla(rng, b, k, n):
+    args = rand_layer(rng, b, k, n)
+    ours = pk.fused_hidden_layer(*args, interpret=True)
+    ref = xops.hidden_layer_step(*args)
+    assert ours.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+@pytest.mark.parametrize("b,k,n", [(128, 256, 384), (384, 512, 640)])
+def test_output_logits_matches_xla(rng, b, k, n):
+    args = rand_layer(rng, b, k, n)
+    ours = pk.output_layer_logits(*args, interpret=True)
+    ref = xops.output_logits(*args)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_block_fallback_nondivisible(rng):
+    """Shapes that don't divide the default blocks must still work via the
+    halving fallback (b=384 vs block 256, n=640 vs block 512)."""
+    args = rand_layer(rng, 384, 128, 640)
+    ours = pk.fused_hidden_layer(*args, interpret=True)
+    ref = xops.hidden_layer_step(*args)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_unpadded_shapes_rejected(rng):
+    x = jnp.zeros((100, 128), jnp.int8)  # 100 not a multiple of 32/128
+    w = jnp.zeros((128, 128), jnp.int8)
+    cs = jnp.zeros(128, jnp.int32)
+    bias = jnp.zeros(128, jnp.float32)
+    with pytest.raises(ValueError):
+        pk.fused_hidden_layer(x, w, cs, jnp.float32(1.0), bias, interpret=True)
+
+
+def test_end_to_end_pallas_scorer_interpret(small_net, features_16khz):
+    """Whole engine on the pallas backend (interpret mode) vs XLA backend."""
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    qnet = quantize_net(small_net)
+    sc_x = Scorer(qnet, EngineConfig(backend="xla"))
+    sc_p = Scorer(qnet, EngineConfig(backend="pallas", interpret=True))
+    frames = features_16khz[:32]
+    out_x = sc_x.score(frames)
+    out_p = sc_p.score(frames)
+    assert out_p.shape == (32, sc_x.output_dim)
+    np.testing.assert_allclose(out_p, out_x, atol=1e-5)
+    # masked path too
+    masks = (np.arange(sc_x.output_dim) % 3 == 0).astype(np.uint8)
+    masks = np.tile(masks, (32, 1))
+    np.testing.assert_allclose(
+        sc_p.score_masked(frames, masks), sc_x.score_masked(frames, masks), atol=1e-5
+    )
