@@ -1,0 +1,94 @@
+"""Model/feature conversion CLI — the offline prep pipeline (SURVEY.md §3.5).
+
+Subcommands:
+  model:    Kaldi nnet1 text + feature-transform -> reference binary model,
+            with optional --align and --extend surgery
+            (mirrors FuncTest.generateNN/extendNetwork,
+            /root/reference/test/java/suskun/nn/FuncTest.java:11-28)
+  features: Kaldi text features -> reference binary feature matrix, with
+            optional --align-dim and --max-frames
+            (mirrors FuncTest.generateAlignedInput, FuncTest.java:31-38)
+
+Examples:
+  python -m fastdnn_tpu.cli.convert model nnet.txt final.feature_transform \
+      model.bin --align 4 16 --extend 2048 8000
+  python -m fastdnn_tpu.cli.convert features data/16khz 16khz.bin \
+      --align-dim 4 --max-frames 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..formats.binary import read_model, write_features, write_model
+from ..formats.kaldi_text import load_features_text, load_network_text
+from ..models.feedforward import align, extend, from_raw, to_raw
+from ..utils.align import aligned_size
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fastdnn-convert")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    m = sub.add_parser("model", help="Kaldi text net -> binary model")
+    m.add_argument("network", help="nnet1 text file or binary model (with --from-binary)")
+    m.add_argument("transform", nargs="?", default=None, help="feature-transform text file")
+    m.add_argument("out", help="output binary model path")
+    m.add_argument("--from-binary", action="store_true", help="input is already a binary model")
+    m.add_argument(
+        "--align", nargs=2, type=int, metavar=("INPUT", "HIDDEN"), default=None,
+        help="zero-pad input dim to xINPUT and hidden widths to xHIDDEN",
+    )
+    m.add_argument(
+        "--extend", nargs=2, type=int, metavar=("HIDDEN", "OUT"), default=None,
+        help="grow net by circular cloning to HIDDEN-wide layers / OUT outputs",
+    )
+
+    f = sub.add_parser("features", help="Kaldi text features -> binary matrix")
+    f.add_argument("input", help="Kaldi text feature file")
+    f.add_argument("out", help="output binary path")
+    f.add_argument("--align-dim", type=int, default=None, help="zero-pad dim to a multiple")
+    f.add_argument("--max-frames", type=int, default=-1)
+    f.add_argument("--utterance", default=None, help="utterance id (default: first)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "model":
+        if args.from_binary:
+            raw = read_model(args.network)
+        else:
+            if args.transform is None:
+                print("error: transform file required for text input", file=sys.stderr)
+                return 2
+            raw = load_network_text(args.network, args.transform)
+        net = from_raw(raw)
+        print(f"Loaded      = {raw.topology()}")
+        if args.extend:
+            net = extend(net, *args.extend)
+        if args.align:
+            net = align(net, *args.align)
+        out_raw = to_raw(net)
+        write_model(out_raw, args.out)
+        print(f"Saved       = {out_raw.topology()} -> {args.out}")
+    else:
+        feats = load_features_text(args.input)
+        if args.utterance is not None:
+            data = feats[args.utterance]
+        else:
+            data = next(iter(feats.values()))
+        if args.align_dim:
+            target = aligned_size(data.shape[1], args.align_dim)
+            data = np.pad(data, ((0, 0), (0, target - data.shape[1])))
+        write_features(data, args.out, max_frames=args.max_frames)
+        n = data.shape[0] if args.max_frames < 0 else min(args.max_frames, data.shape[0])
+        print(f"Saved       = {n}x{data.shape[1]} -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Scorer CLI — the reference CLI's shape (/root/reference/src/cpp/dnn.cc:20-84):
+
+    python -m fastdnn_tpu.cli.score MODEL INPUT [OUT] [BIN|TXT] [--cutoff F]
+        [--backend auto|xla|pallas] [--mask-density F] [--iterations N]
+
+Loads a reference-format binary model and binary feature matrix, quantizes,
+scores (optionally with synthetic lazy masks), prints topology + timing, and
+dumps posteriors to stdout or a file in BIN or TXT format like
+BatchData::dumpToFile (/root/reference/src/cpp/float_dnn.cc:128-164).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..config import EngineConfig
+from ..engine.scorer import Scorer
+from ..formats.binary import read_features, read_model, write_features, write_features_text
+from ..models.feedforward import from_raw
+from ..quant.quantize import quantize_net
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fastdnn-score", description="Score acoustic features with a quantized DNN on TPU"
+    )
+    p.add_argument("model", help="binary model file (reference format)")
+    p.add_argument("input", help="binary feature matrix file")
+    p.add_argument("out", nargs="?", default=None, help="output file (default: stdout)")
+    p.add_argument(
+        "out_type", nargs="?", default="TXT", choices=["BIN", "TXT"], help="output format"
+    )
+    p.add_argument("--cutoff", type=float, default=3.0, help="weight quantization cutoff")
+    p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument(
+        "--mask-density",
+        type=float,
+        default=None,
+        help="if set, score lazily with synthetic evolving masks at this active density",
+    )
+    p.add_argument("--iterations", type=int, default=1, help="repeat scoring (timing)")
+    p.add_argument("--seed", type=int, default=1)
+    return p
+
+
+def generate_masks(rng, count, dim, density, churn_frac=0.03):
+    """Evolving decoder-style masks (FuncTest.generateMasks,
+    /root/reference/test/java/suskun/nn/FuncTest.java:121-154)."""
+    active = max(1, int(dim * density))
+    churn = max(1, int(dim * churn_frac))
+    masks = np.zeros((count, dim), dtype=np.uint8)
+    masks[0, rng.choice(dim, size=active, replace=False)] = 1
+    for i in range(1, count):
+        masks[i] = masks[i - 1]
+        off = np.flatnonzero(masks[i] == 0)
+        on = np.flatnonzero(masks[i] == 1)
+        if off.size:
+            masks[i, rng.choice(off, size=min(churn, off.size), replace=False)] = 1
+        if on.size > churn:
+            masks[i, rng.choice(on, size=churn, replace=False)] = 0
+    return masks
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    raw = read_model(args.model)
+    print(f"Model File  = {args.model}")
+    print(f"Network     = {raw.topology()}")
+    frames = read_features(args.input)
+    print(f"Input       = {frames.shape[0]}x{frames.shape[1]}")
+
+    net = from_raw(raw)
+    qnet = quantize_net(net, cutoff=args.cutoff)
+    scorer = Scorer(qnet, EngineConfig(backend=args.backend))
+
+    masks = None
+    if args.mask_density is not None:
+        rng = np.random.default_rng(args.seed)
+        masks = generate_masks(rng, frames.shape[0], scorer.output_dim, args.mask_density)
+
+    # warmup (compile) then timed iterations
+    run = (lambda: scorer.score_masked(frames, masks)) if masks is not None else (
+        lambda: scorer.score(frames)
+    )
+    output = run()
+    times = []
+    for _ in range(args.iterations):
+        t0 = time.perf_counter()
+        output = run()
+        times.append((time.perf_counter() - t0) * 1000)
+    print(f"Dnn calculation time = {min(times):.2f} ms.")
+
+    if args.out is None:
+        np.savetxt(sys.stdout, output, fmt="%f", delimiter=" ")
+    elif args.out_type == "BIN":
+        write_features(output, args.out)
+    else:
+        write_features_text(output, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,128 @@
+"""CLI tests: convert the bundled Kaldi text features/models end to end and
+score them, mirroring the reference's manual pipeline (SURVEY.md §3.4/§3.5)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fastdnn_tpu.cli import convert, score
+from fastdnn_tpu.formats.binary import (
+    RawLayer,
+    RawNetwork,
+    read_features,
+    read_model,
+    write_model,
+)
+
+DATA = "/root/reference/data"
+
+
+@pytest.fixture()
+def model_file(tmp_path, rng):
+    """A small random model in the reference binary format (432 in)."""
+    dims = [432, 64, 64, 50]
+    layers = [
+        RawLayer(
+            (rng.standard_normal((dims[i + 1], dims[i])) * dims[i] ** -0.5).astype(np.float32),
+            rng.standard_normal(dims[i + 1]).astype(np.float32) * 0.1,
+        )
+        for i in range(len(dims) - 1)
+    ]
+    raw = RawNetwork(
+        layers,
+        rng.standard_normal(432).astype(np.float32),
+        rng.uniform(0.5, 1.5, 432).astype(np.float32),
+    )
+    path = tmp_path / "model.bin"
+    write_model(raw, path)
+    return str(path)
+
+
+class TestConvertCLI:
+    def test_features_conversion_matches_bundled(self, tmp_path):
+        """Reproduce data/16khz.bin from data/16khz exactly (modulo the
+        reference writer's benign off-by-one)."""
+        out = tmp_path / "16khz.bin"
+        rc = convert.main(
+            ["features", os.path.join(DATA, "16khz"), str(out), "--align-dim", "4", "--max-frames", "100"]
+        )
+        assert rc == 0
+        ours = read_features(out)
+        bundled = read_features(os.path.join(DATA, "16khz.bin"))
+        np.testing.assert_array_equal(ours, bundled)
+
+    def test_model_align_extend(self, tmp_path, model_file):
+        out = tmp_path / "big.bin"
+        rc = convert.main(
+            ["model", model_file, "--from-binary", str(out), "--extend", "128", "96", "--align", "4", "16"]
+        )
+        assert rc == 0
+        raw = read_model(out)
+        assert raw.layers[0].output_dim == 128
+        assert raw.layers[-1].output_dim == 96
+        assert raw.layers[0].input_dim == 432
+
+    def test_model_text_conversion(self, tmp_path):
+        net_text = """<AffineTransform> 3 2
+[ 0.25 -0.125
+  1.0 2.0
+  -3.5 0.5 ]
+[ 0.1 0.2 0.3 ]
+<AffineTransform> 2 3
+[ 1 2 3
+  4 5 6 ]
+[ -1 1 ]
+"""
+        netf = tmp_path / "net.txt"
+        netf.write_text(net_text)
+        tff = tmp_path / "tf.txt"
+        tff.write_text("[ 0.5 0.25 ] [ 2.0 4.0 ]")
+        out = tmp_path / "m.bin"
+        rc = convert.main(["model", str(netf), str(tff), str(out)])
+        assert rc == 0
+        raw = read_model(out)
+        assert raw.input_dim == 2 and raw.output_dim == 2
+
+
+class TestScoreCLI:
+    def test_score_bundled_features(self, tmp_path, model_file, capsys):
+        out = tmp_path / "post.bin"
+        rc = score.main(
+            [model_file, os.path.join(DATA, "16khz.bin"), str(out), "BIN", "--backend", "xla"]
+        )
+        assert rc == 0
+        posteriors = read_features(out)
+        assert posteriors.shape == (100, 50)
+        np.testing.assert_allclose(posteriors.sum(-1), 1.0, rtol=1e-4)
+        captured = capsys.readouterr().out
+        assert "432-1x64-50" in captured
+        assert "calculation time" in captured
+
+    def test_score_lazy_masks(self, tmp_path, model_file):
+        out = tmp_path / "post.txt"
+        rc = score.main(
+            [
+                model_file,
+                os.path.join(DATA, "16khz.bin"),
+                str(out),
+                "TXT",
+                "--backend",
+                "xla",
+                "--mask-density",
+                "0.4",
+            ]
+        )
+        assert rc == 0
+        posteriors = np.loadtxt(out, dtype=np.float32)
+        assert posteriors.shape == (100, 50)
+        # reference lazy semantics: all posteriors positive (exp(0) mass)
+        assert posteriors.min() > 0
+
+    def test_mask_generator_density_and_churn(self, rng):
+        masks = score.generate_masks(rng, 50, 1000, 0.4)
+        density = masks.mean(axis=1)
+        assert abs(density[0] - 0.4) < 0.01
+        assert np.all(np.abs(density - 0.4) < 0.1)
+        flips = np.abs(np.diff(masks.astype(np.int8), axis=0)).sum(axis=1)
+        assert flips.max() <= 2 * int(1000 * 0.03)
