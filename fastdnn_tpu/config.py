@@ -50,10 +50,12 @@ class EngineConfig:
     #: frame counts are padded up to a multiple of this before jit so that
     #: streams of utterances reuse a small set of compiled shapes.
     frame_bucket: int = 128
-    #: Pallas block size over the frame axis
-    block_frames: int = 256
-    #: Pallas block size over the output-node axis
-    block_nodes: int = 512
+    #: Pallas block size over the frame axis (tuned on v5e)
+    block_frames: int = 512
+    #: Pallas node-axis block for hidden layers (weight block resident in VMEM)
+    block_nodes_hidden: int = 2048
+    #: Pallas node-axis block for the output layer (f32 logits block is 4x fatter)
+    block_nodes_out: int = 1024
 
     # Lazy / masked output -------------------------------------------------
     #: "reference" reproduces the reference softmax-over-zeros semantics for

@@ -17,9 +17,18 @@ def hidden_layer_step(
     bias_f32: jax.Array,
     *,
     interpret: bool = False,
+    block_frames: int = 512,
+    block_nodes: int = 2048,
 ) -> jax.Array:
     return pk.fused_hidden_layer(
-        acts_i8, w_i8, colsum128_i32, inv_scale_f32, bias_f32, interpret=interpret
+        acts_i8,
+        w_i8,
+        colsum128_i32,
+        inv_scale_f32,
+        bias_f32,
+        block_frames=block_frames,
+        block_nodes=block_nodes,
+        interpret=interpret,
     )
 
 
@@ -31,7 +40,16 @@ def output_logits(
     bias_f32: jax.Array,
     *,
     interpret: bool = False,
+    block_frames: int = 512,
+    block_nodes: int = 1024,
 ) -> jax.Array:
     return pk.output_layer_logits(
-        acts_i8, w_i8, colsum128_i32, inv_scale_f32, bias_f32, interpret=interpret
+        acts_i8,
+        w_i8,
+        colsum128_i32,
+        inv_scale_f32,
+        bias_f32,
+        block_frames=block_frames,
+        block_nodes=block_nodes,
+        interpret=interpret,
     )

@@ -138,7 +138,9 @@ def _pad2(a: jax.Array, rows: int, cols: int) -> jax.Array:
     return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
 
 
-def pad_qnet_for_tpu(qnet: QuantizedNet, lanes: int = 128) -> QuantizedNet:
+def pad_qnet_for_tpu(
+    qnet: QuantizedNet, lanes: int = 128, out_lanes: int = 1024
+) -> QuantizedNet:
     """Zero-pad every node dimension up to a multiple of `lanes` (128) so the
     Pallas kernels tile the MXU exactly — the TPU analog of the reference's
     x4/x16 SSE alignment (README.md:22).
@@ -148,18 +150,24 @@ def pad_qnet_for_tpu(qnet: QuantizedNet, lanes: int = 128) -> QuantizedNet:
     sigmoid(0) whose shifted-int8 value is 0 and whose outgoing weights are
     zero rows; padded output logits are exactly 0.0 and callers slice logits
     to the true output dim before softmax.
+
+    The final (output) layer's node dim is padded further, to a multiple of
+    `out_lanes`, so the output kernel can use wide node blocks (8000 senones
+    -> 8192: +2.4% zero columns buys an efficient 1024-wide MXU tile).
     """
 
-    def up(n: int) -> int:
-        return -(-n // lanes) * lanes
+    def up(n: int, m: int = lanes) -> int:
+        return -(-n // m) * m
 
     in_w = qnet.input_w
+    last = len(qnet.weights) - 1
     h0 = up(in_w.shape[1])
     in_w = _pad2(in_w, in_w.shape[0], h0)
     in_b = jnp.pad(qnet.input_b, (0, h0 - qnet.input_b.shape[0]))
     weights, colsums, biases = [], [], []
-    for w, cs, b in zip(qnet.weights, qnet.colsum128, qnet.biases):
-        k, n = up(w.shape[0]), up(w.shape[1])
+    for i, (w, cs, b) in enumerate(zip(qnet.weights, qnet.colsum128, qnet.biases)):
+        k = up(w.shape[0])
+        n = up(w.shape[1], out_lanes if i == last else lanes)
         weights.append(_pad2(w, k, n))
         colsums.append(jnp.pad(cs, (0, n - cs.shape[0])))
         biases.append(jnp.pad(b, (0, n - b.shape[0])))
