@@ -118,8 +118,22 @@ def _slurp(f: PathOrFile) -> bytes:
         return fh.read()
 
 
+def _native_io():
+    """The C++ IO library (native/fastdnn_io.cc) if built, else None."""
+    try:
+        from . import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def read_model(f: PathOrFile) -> RawNetwork:
     """Parse a reference-format binary model file."""
+    if not hasattr(f, "read"):
+        nat = _native_io()
+        if nat is not None:
+            return nat.read_model(f)
     r = _Reader(_slurp(f))
     layer_count = r.read_i32()
     if not 0 < layer_count < 10_000:
@@ -161,6 +175,10 @@ def read_features(f: PathOrFile) -> np.ndarray:
 
     Trusts the header frame count (see module docstring).
     """
+    if not hasattr(f, "read"):
+        nat = _native_io()
+        if nat is not None:
+            return nat.read_features(f)
     r = _Reader(_slurp(f))
     frames = r.read_i32()
     dim = r.read_i32()

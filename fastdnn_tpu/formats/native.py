@@ -1,0 +1,131 @@
+"""ctypes bindings to the native IO library (native/fastdnn_io.cc).
+
+The native library is the TPU build's analog of the reference's C++
+BinaryLoader/BatchData (/root/reference/src/cpp/float_dnn.cc): host-side
+big-endian parsing of model/feature files, kept native for bulk byte-swap
+speed.  Everything degrades gracefully to the pure-numpy implementations in
+formats/binary.py when the library isn't built (`make -C native`) or when
+FASTDNN_NATIVE=0.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from .binary import RawLayer, RawNetwork
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "_native",
+    "libfastdnn_io.so",
+)
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("FASTDNN_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.fd_read_model.restype = ctypes.c_void_p
+    lib.fd_read_model.argtypes = [ctypes.c_char_p]
+    lib.fd_model_layer_count.restype = ctypes.c_int32
+    lib.fd_model_layer_count.argtypes = [ctypes.c_void_p]
+    for fn in ("fd_model_input_dim", "fd_model_output_dim"):
+        getattr(lib, fn).restype = ctypes.c_int32
+        getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    for fn in ("fd_model_weights", "fd_model_bias"):
+        getattr(lib, fn).restype = ctypes.POINTER(ctypes.c_float)
+        getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    for fn in ("fd_model_shift", "fd_model_scale"):
+        getattr(lib, fn).restype = ctypes.POINTER(ctypes.c_float)
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.fd_model_free.argtypes = [ctypes.c_void_p]
+    lib.fd_read_features.restype = ctypes.c_int32
+    lib.fd_read_features.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.fd_write_features.restype = ctypes.c_int32
+    lib.fd_write_features.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.fd_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_model(path) -> RawNetwork:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not available")
+    handle = lib.fd_read_model(os.fspath(path).encode())
+    if not handle:
+        raise ValueError(f"failed to parse model file {path}")
+    try:
+        layers: List[RawLayer] = []
+        for i in range(lib.fd_model_layer_count(handle)):
+            in_dim = lib.fd_model_input_dim(handle, i)
+            out_dim = lib.fd_model_output_dim(handle, i)
+            w = np.ctypeslib.as_array(
+                lib.fd_model_weights(handle, i), shape=(out_dim, in_dim)
+            ).copy()
+            b = np.ctypeslib.as_array(lib.fd_model_bias(handle, i), shape=(out_dim,)).copy()
+            layers.append(RawLayer(w, b))
+        in0 = layers[0].input_dim
+        shift = np.ctypeslib.as_array(lib.fd_model_shift(handle), shape=(in0,)).copy()
+        scale = np.ctypeslib.as_array(lib.fd_model_scale(handle), shape=(in0,)).copy()
+        return RawNetwork(layers, shift, scale)
+    finally:
+        lib.fd_model_free(handle)
+
+
+def read_features(path) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not available")
+    data = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_int32()
+    dim = ctypes.c_int32()
+    rc = lib.fd_read_features(
+        os.fspath(path).encode(), ctypes.byref(data), ctypes.byref(frames), ctypes.byref(dim)
+    )
+    if rc != 0:
+        raise ValueError(f"failed to read feature file {path} (code {rc})")
+    try:
+        return np.ctypeslib.as_array(data, shape=(frames.value, dim.value)).copy()
+    finally:
+        lib.fd_buffer_free(data)
+
+
+def write_features(data: np.ndarray, path) -> None:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not available")
+    arr = np.ascontiguousarray(data, dtype=np.float32)
+    rc = lib.fd_write_features(
+        os.fspath(path).encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        arr.shape[0],
+        arr.shape[1],
+    )
+    if rc != 0:
+        raise ValueError(f"failed to write feature file {path} (code {rc})")
