@@ -62,9 +62,16 @@ class EngineConfig:
     #: inactive senones (/root/reference/src/cpp/dnn.cc:369-389);
     #: "active_only" renormalizes over active senones instead.
     lazy_semantics: Literal["reference", "active_only"] = "reference"
+    #: masked-output strategy: "dense" always runs the full output matmul
+    #: with post-masking (optimal at batch); "gathered" computes only the
+    #: union of active senone columns (optimal at small batch / latency);
+    #: "auto" picks gathered for small frame counts when the union fits.
+    lazy_mode: Literal["auto", "dense", "gathered"] = "auto"
     #: capacity (fraction of output nodes) for the gathered lazy matmul;
     #: masks denser than this fall back to the dense masked path.
     lazy_capacity: float = 0.6
+    #: frame-count threshold below which "auto" prefers the gathered path
+    lazy_gather_max_frames: int = 128
 
     def resolve_backend(self, platform: str) -> str:
         if self.backend != "auto":

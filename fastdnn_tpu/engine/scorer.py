@@ -164,6 +164,21 @@ class Scorer:
         self._masked_from_acts = jax.jit(
             functools.partial(self._masked_from_acts_fn, **kw, semantics=self.config.lazy_semantics)
         )
+        from ..utils.align import aligned_size as _asz
+
+        self._gather_capacity = min(
+            _asz(max(int(self._output_dim * self.config.lazy_capacity), 1), 128),
+            self._output_dim,
+        )
+        from . import lazy as _lazy
+
+        self._gathered = jax.jit(
+            functools.partial(
+                _lazy.gathered_output_posteriors,
+                out_dim=self._output_dim,
+                semantics=self.config.lazy_semantics,
+            )
+        )
 
     @staticmethod
     def _masked_from_acts_fn(net, acts, masks, *, backend, interpret, semantics, out_dim):
@@ -220,7 +235,12 @@ class Scorer:
         return self._score(self.net, frames)
 
     def score_masked(self, frames, masks) -> np.ndarray:
-        """Lazy path, whole utterance at once: masks [n, out] (nonzero=active)."""
+        """Lazy path, whole utterance at once: masks [n, out] (nonzero=active).
+
+        Strategy per config.lazy_mode: dense masked matmul (batch-optimal) or
+        capacity-bounded gathered matmul over the union of active senones
+        (latency-optimal at small frame counts); "auto" picks by size.
+        """
         frames = np.asarray(frames, dtype=np.float32)
         masks = np.asarray(masks)
         if masks.shape != (frames.shape[0], self.output_dim):
@@ -231,8 +251,32 @@ class Scorer:
         pad_n = padded.shape[0]
         masks_p = np.zeros((pad_n, self.output_dim), dtype=np.uint8)
         masks_p[:n] = masks != 0
-        out = self._score_masked(self.net, padded, jnp.asarray(masks_p))
+        if self._use_gathered(n, masks_p):
+            from .lazy import union_active_indices
+
+            idx, _ = union_active_indices(masks_p, self._gather_capacity)
+            acts = self._hidden(self.net, padded)
+            out = self._gathered(self.net, acts, jnp.asarray(masks_p), jnp.asarray(idx))
+        else:
+            out = self._score_masked(self.net, padded, jnp.asarray(masks_p))
         return np.asarray(out[:n])
+
+    def _use_gathered(self, n_frames: int, masks: np.ndarray) -> bool:
+        mode = self.config.lazy_mode
+        if mode == "dense":
+            return False
+        union = int(masks.any(axis=0).sum())
+        if union > self._gather_capacity:
+            if mode == "gathered":
+                raise ValueError(
+                    f"active union {union} exceeds gather capacity "
+                    f"{self._gather_capacity}; raise config.lazy_capacity or "
+                    "use lazy_mode='dense'"
+                )
+            return False
+        if mode == "gathered":
+            return True
+        return n_frames <= self.config.lazy_gather_max_frames
 
     def new_lazy_context(self, input_vector_count: int) -> "LazyContext":
         """API-parity with QuantizedDnn.getNewLazyContext
@@ -274,10 +318,18 @@ class LazyContext:
         i = self.current_vector_index
         if i >= self.input_vector_count:
             raise IndexError("all frames already consumed")
-        mask = np.asarray(mask).reshape(1, -1)
+        mask = (np.asarray(mask).reshape(1, -1) != 0).astype(np.uint8)
         acts_i = jax.lax.dynamic_slice_in_dim(self._acts, i, 1, axis=0)
-        out = self._scorer._masked_from_acts(
-            self._scorer.net, acts_i, jnp.asarray(mask != 0)
-        )
+        if self._scorer._use_gathered(1, mask):
+            from .lazy import union_active_indices
+
+            idx, _ = union_active_indices(mask, self._scorer._gather_capacity)
+            out = self._scorer._gathered(
+                self._scorer.net, acts_i, jnp.asarray(mask), jnp.asarray(idx)
+            )
+        else:
+            out = self._scorer._masked_from_acts(
+                self._scorer.net, acts_i, jnp.asarray(mask)
+            )
         self.current_vector_index += 1
         return np.asarray(out[0])
