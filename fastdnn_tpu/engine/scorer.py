@@ -278,6 +278,29 @@ class Scorer:
             return True
         return n_frames <= self.config.lazy_gather_max_frames
 
+    def score_utterances(self, utterances):
+        """Score many utterances in one device pass.
+
+        Frames are independent (pure MLP over spliced features, SURVEY.md §5)
+        so utterances are concatenated into a single frame batch — one padded
+        shape, one jit call — and split back.  Accepts a dict {id: [n, dim]}
+        or a list of [n, dim] arrays; returns the same container shape.
+        """
+        keys = None
+        if isinstance(utterances, dict):
+            keys = list(utterances.keys())
+            mats = [np.asarray(utterances[k], np.float32) for k in keys]
+        else:
+            mats = [np.asarray(u, np.float32) for u in utterances]
+        if not mats:
+            return {} if keys is not None else []
+        counts = [m.shape[0] for m in mats]
+        out = self.score(np.concatenate(mats, axis=0))
+        splits = np.split(out, np.cumsum(counts)[:-1])
+        if keys is not None:
+            return dict(zip(keys, splits))
+        return list(splits)
+
     def new_lazy_context(self, input_vector_count: int) -> "LazyContext":
         """API-parity with QuantizedDnn.getNewLazyContext
         (/root/reference/src/java/suskun/nn/QuantizedDnn.java:100-107)."""

@@ -1,0 +1,68 @@
+"""Observability: throughput counters and profiler hooks.
+
+The reference's only tracing is wall-clock prints (SURVEY.md §5).  Here:
+  * `Throughput` — rolling audio-seconds/s and frames/s counters for serving
+  * `trace` — context manager around jax.profiler for TensorBoard traces
+  * `Timer` — the plain wall-clock the reference used, for CLIs
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+
+FRAMES_PER_AUDIO_SECOND = 100.0
+
+
+class Timer:
+    """Wall-clock timer (std::chrono analog, /root/reference/src/cpp/dnn.cc:62-73)."""
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.t0
+        return False
+
+    @property
+    def ms(self) -> float:
+        return self.elapsed * 1e3
+
+
+@dataclass
+class Throughput:
+    """Rolling throughput counter for a scoring service."""
+
+    frames: int = 0
+    seconds: float = 0.0
+    _t0: float = field(default_factory=time.perf_counter)
+
+    def add(self, n_frames: int) -> None:
+        now = time.perf_counter()
+        self.seconds = now - self._t0
+        self.frames += n_frames
+
+    def frames_per_s(self) -> float:
+        return self.frames / self.seconds if self.seconds > 0 else 0.0
+
+    def audio_seconds_per_s(self) -> float:
+        return self.frames_per_s() / FRAMES_PER_AUDIO_SECOND
+
+    def reset(self) -> None:
+        self.frames = 0
+        self.seconds = 0.0
+        self._t0 = time.perf_counter()
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace scope; view with TensorBoard's profile plugin."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
