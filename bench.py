@@ -6,13 +6,17 @@ Workload = the reference's largest validated config: 7x2048-hidden /
 processes 1 s of speech in 0.25-0.3 s per x86 core, i.e. ~3.65
 audio-seconds/s/core (README.md:60-61, BASELINE.md) — that is vs_baseline=1.
 
-Methodology: this environment reaches the TPU through a relay with ~24 ms of
-per-call round-trip latency, so single-call timings measure the tunnel, not
-the chip.  Throughput is therefore measured *marginally*: synced wall time is
-taken at two batch sizes and the per-frame cost is the slope
-  frames/s = (b2 - b1) / (t(b2) - t(b1))
-which cancels the constant RTT exactly.  Each t(b) is the min over several
-iterations of a call whose output is fetched to host (forcing completion).
+Methodology: this environment reaches the TPU through a relay with ~25 ms of
+per-call round-trip latency and millisecond-scale jitter, so per-call
+timings measure the tunnel.  The engine is therefore timed as a *chained
+repetition* inside one jit: score REPS_HI vs REPS_LO times (each iteration's
+posteriors feed the next iteration's features, and a full-row posterior sum
+is consumed so XLA cannot dead-code any column), and
+
+    frames/s = (REPS_HI - REPS_LO) * batch / (t_hi - t_lo)
+
+cancels both the RTT and the single compile/dispatch overhead.  The extra
+consume-sum per iteration makes the number slightly conservative (~5%).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "audio-s/s/chip", "vs_baseline": N, ...}
@@ -21,6 +25,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -44,23 +49,109 @@ def synced_time(fn, iters: int) -> float:
     return min(times)
 
 
-def marginal_frames_per_s(make_call, b1: int, b2: int, iters: int) -> float:
-    t1 = synced_time(make_call(b1), iters)
-    t2 = synced_time(make_call(b2), iters)
-    if t2 <= t1:
+def chained_frames_per_s(
+    score_once,
+    frames: jax.Array,
+    *,
+    reps_lo: int = 2,
+    reps_hi: int = 12,
+    iters: int = 5,
+    masks: jax.Array | None = None,
+) -> float:
+    """Marginal throughput from two chained-repetition jits (see module doc).
+
+    score_once(frames[, masks]) -> posteriors [b, out].
+    """
+    b, in_dim = frames.shape
+
+    def make(reps: int):
+        @jax.jit
+        def f(x):
+            p = None
+            for _ in range(reps):
+                p = score_once(x, masks) if masks is not None else score_once(x)
+                # feed posteriors back as features and consume every column
+                x = p[:, :in_dim] * 50.0 + jnp.sum(p, axis=1, keepdims=True)
+            return p
+
+        return lambda: np.asarray(f(frames)[0, 0])
+
+    t_lo = synced_time(make(reps_lo), iters)
+    t_hi = synced_time(make(reps_hi), iters)
+    if t_hi <= t_lo:
         return float("nan")
-    return (b2 - b1) / (t2 - t1)
+    return (reps_hi - reps_lo) * b / (t_hi - t_lo)
+
+
+def run_config(name: str, backend: str, iters: int) -> dict:
+    """BASELINE.json secondary configs (the headline is config 4 = main())."""
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.formats.binary import read_features
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    if name == "bundled-8khz":
+        # config 1: bundled 8khz.aligned.bin features, full softmax output
+        frames = read_features("/root/reference/data/8khz.aligned.bin")
+        net = random_net(jax.random.PRNGKey(0), 432, [1024] * 5, 4000)
+        scorer = Scorer(quantize_net(net), EngineConfig(backend=backend))
+        call = lambda: np.asarray(scorer.score(frames)[0, 0])
+        t = synced_time(call, iters)
+        return {"config": name, "frames": int(frames.shape[0]),
+                "wall_ms_incl_rtt": round(t * 1e3, 2)}
+
+    if name == "bundled-16khz":
+        # config 2: bundled 16khz features, transform fused, int8 forward
+        frames = read_features("/root/reference/data/16khz.bin")
+        net = random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
+        scorer = Scorer(quantize_net(net), EngineConfig(backend=backend))
+        call = lambda: np.asarray(scorer.score(frames)[0, 0])
+        t = synced_time(call, iters)
+        return {"config": name, "frames": 100, "wall_ms_incl_rtt": round(t * 1e3, 2)}
+
+    if name == "midsize-lazy":
+        # config 3: 5x1024 / 4000-out net, lazy masks at 30-50% density
+        b = 8192
+        net = random_net(jax.random.PRNGKey(0), 432, [1024] * 5, 4000)
+        scorer = Scorer(quantize_net(net), EngineConfig(backend=backend))
+        out = {"config": name}
+
+        @functools.partial(jax.jit, static_argnames=("density",))
+        def gen_masks(key, density):
+            return (jax.random.uniform(key, (b, 4000)) < density).astype(jnp.uint8)
+
+        frames = jax.block_until_ready(
+            jax.random.normal(jax.random.PRNGKey(0), (b, 432), jnp.float32)
+        )
+        for density in (0.3, 0.5):
+            masks = jax.block_until_ready(gen_masks(jax.random.PRNGKey(1), density=density))
+            score_once = lambda x, m: scorer._score_masked(scorer.net, x, m)
+            fps = chained_frames_per_s(score_once, frames, masks=masks, iters=iters)
+            out[f"lazy_frames_per_s_{int(density*100)}pct"] = round(fps)
+        return out
+
+    raise SystemExit(f"unknown config {name}")
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--b1", type=int, default=8192)
-    p.add_argument("--b2", type=int, default=24576)
-    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--iters", type=int, default=5)
     p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--mask-density", type=float, default=0.4)
     p.add_argument("--quick", action="store_true")
+    p.add_argument(
+        "--config",
+        default=None,
+        choices=["bundled-8khz", "bundled-16khz", "midsize-lazy"],
+        help="run a BASELINE.json secondary config instead of the headline",
+    )
     args = p.parse_args(argv)
+
+    if args.config:
+        print(json.dumps(run_config(args.config, args.backend, args.iters)))
+        return 0
 
     from fastdnn_tpu.config import EngineConfig
     from fastdnn_tpu.engine.scorer import Scorer
@@ -68,48 +159,36 @@ def main(argv=None) -> int:
     from fastdnn_tpu.quant.quantize import quantize_net
 
     if args.quick:
-        args.b1, args.b2, args.iters = 2048, 8192, 3
+        args.batch, args.iters = 2048, 3
 
     platform = jax.devices()[0].platform
     net = random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
     qnet = quantize_net(net, cutoff=3.0)
     scorer = Scorer(qnet, EngineConfig(backend=args.backend))
-    rng = np.random.default_rng(0)
 
-    import functools
+    b = args.batch
+    frames = jax.block_until_ready(
+        jax.random.normal(jax.random.PRNGKey(0), (b, 432), jnp.float32)
+    )
 
-    # inputs are generated on device: the relay makes large host->device
-    # transfers minutes-slow and they are not part of the measured engine
-    @functools.partial(jax.jit, static_argnames="b")
-    def gen_frames(key, b):
-        return jax.random.normal(key, (b, 432), jnp.float32)
-
-    @functools.partial(jax.jit, static_argnames="b")
-    def gen_masks(key, b):
-        return (jax.random.uniform(key, (b, 8000)) < args.mask_density).astype(jnp.uint8)
-
-    def make_full_call(b: int):
-        frames = jax.block_until_ready(gen_frames(jax.random.PRNGKey(0), b=b))
-
-        def call():
-            np.asarray(scorer.score_device(frames)[0, 0])  # host fetch = sync
-
-        return call
-
-    fps = marginal_frames_per_s(make_full_call, args.b1, args.b2, args.iters)
+    # full (non-lazy) scoring
+    fps = chained_frames_per_s(
+        lambda x: scorer._score(scorer.net, x), frames, iters=args.iters
+    )
     audio_s_per_s = fps / FRAMES_PER_AUDIO_SECOND
 
     # lazy (masked) scoring at the typical ASR density (README.md:32)
-    def make_masked_call(b: int):
-        frames = jax.block_until_ready(gen_frames(jax.random.PRNGKey(0), b=b))
-        masks = jax.block_until_ready(gen_masks(jax.random.PRNGKey(1), b=b))
-
-        def call():
-            np.asarray(scorer._score_masked(scorer.net, frames, masks)[0, 0])
-
-        return call
-
-    lazy_fps = marginal_frames_per_s(make_masked_call, args.b1, args.b2, args.iters)
+    masks = jax.block_until_ready(
+        (jax.random.uniform(jax.random.PRNGKey(1), (b, 8000)) < args.mask_density).astype(
+            jnp.uint8
+        )
+    )
+    lazy_fps = chained_frames_per_s(
+        lambda x, m: scorer._score_masked(scorer.net, x, m),
+        frames,
+        masks=masks,
+        iters=args.iters,
+    )
 
     result = {
         "metric": "audio_seconds_per_second_per_chip_7x2048x8000",
@@ -120,8 +199,8 @@ def main(argv=None) -> int:
         "lazy_frames_per_s_40pct": round(lazy_fps),
         "backend": scorer._backend,
         "platform": platform,
-        "batches": [args.b1, args.b2],
-        "method": "marginal slope between batch sizes (cancels relay RTT)",
+        "batch": b,
+        "method": "chained-repetition marginal (cancels relay RTT; ~5% conservative)",
     }
     print(json.dumps(result))
     return 0

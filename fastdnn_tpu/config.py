@@ -54,8 +54,15 @@ class EngineConfig:
     block_frames: int = 512
     #: Pallas node-axis block for hidden layers (weight block resident in VMEM)
     block_nodes_hidden: int = 2048
+    #: Pallas frame block for the output layer
+    block_frames_out: int = 256
     #: Pallas node-axis block for the output layer (f32 logits block is 4x fatter)
     block_nodes_out: int = 1024
+    #: use the fused in-kernel flash-softmax output kernel instead of
+    #: logits + XLA softmax.  Measured slower on v5e (the stats sweep forces
+    #: a frames-outer grid that re-streams output weights), kept as an option
+    #: for future hardware/workloads.
+    fused_softmax: bool = False
 
     # Lazy / masked output -------------------------------------------------
     #: "reference" reproduces the reference softmax-over-zeros semantics for

@@ -40,7 +40,7 @@ def output_logits(
     bias_f32: jax.Array,
     *,
     interpret: bool = False,
-    block_frames: int = 512,
+    block_frames: int = 256,
     block_nodes: int = 1024,
 ) -> jax.Array:
     return pk.output_layer_logits(
@@ -51,5 +51,31 @@ def output_logits(
         bias_f32,
         block_frames=block_frames,
         block_nodes=block_nodes,
+        interpret=interpret,
+    )
+
+
+def output_posteriors(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    masks: jax.Array | None,
+    *,
+    out_dim: int,
+    semantics: str = "reference",
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused output matmul + (optional mask) + softmax -> [B, out_dim]."""
+    return pk.output_layer_posteriors(
+        acts_i8,
+        w_i8,
+        colsum128_i32,
+        inv_scale_f32,
+        bias_f32,
+        masks,
+        out_dim=out_dim,
+        semantics=semantics,
         interpret=interpret,
     )

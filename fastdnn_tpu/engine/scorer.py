@@ -94,6 +94,7 @@ def score_fn(
     backend: str = "xla",
     interpret: bool = False,
     out_dim: Optional[int] = None,
+    fused_softmax: bool = False,
 ):
     """Full forward pass -> posteriors f32 [B, out].  Jittable.
 
@@ -101,6 +102,19 @@ def score_fn(
     softmax — padded logits are exactly 0.0 and must not join the denominator.
     """
     acts = hidden_forward(net, frames, backend, interpret)
+    if backend == "pallas" and fused_softmax:
+        from . import pallas_backend
+
+        return pallas_backend.output_posteriors(
+            acts,
+            net.weights[-1],
+            net.colsum128[-1],
+            net.inv_scales[-1],
+            net.biases[-1],
+            None,
+            out_dim=out_dim if out_dim is not None else net.output_dim,
+            interpret=interpret,
+        )
     logits = output_logits(net, acts, backend, interpret)
     if out_dim is not None and out_dim != logits.shape[-1]:
         logits = logits[:, :out_dim]
@@ -116,6 +130,7 @@ def score_masked_fn(
     interpret: bool = False,
     semantics: str = "reference",
     out_dim: Optional[int] = None,
+    fused_softmax: bool = False,
 ):
     """Lazy/masked forward pass -> posteriors f32 [B, out].  Jittable.
 
@@ -123,6 +138,26 @@ def score_masked_fn(
     byte mask, /root/reference/src/java/suskun/nn/QuantizedDnn.java:88-93).
     """
     acts = hidden_forward(net, frames, backend, interpret)
+    if backend == "pallas" and fused_softmax:
+        from . import pallas_backend
+
+        true_out = out_dim if out_dim is not None else net.output_dim
+        # masks are [B, true_out]; pad to the MXU-padded width (padded
+        # columns are masked out in-kernel via the out_dim cutoff anyway)
+        n_pad = net.weights[-1].shape[1]
+        if masks.shape[-1] != n_pad:
+            masks = jnp.pad(masks, ((0, 0), (0, n_pad - masks.shape[-1])))
+        return pallas_backend.output_posteriors(
+            acts,
+            net.weights[-1],
+            net.colsum128[-1],
+            net.inv_scales[-1],
+            net.biases[-1],
+            masks,
+            out_dim=true_out,
+            semantics=semantics,
+            interpret=interpret,
+        )
     logits = output_logits(net, acts, backend, interpret)
     if out_dim is not None and out_dim != logits.shape[-1]:
         logits = logits[:, :out_dim]
@@ -150,7 +185,10 @@ class Scorer:
             net = pad_qnet_for_tpu(net)
         self.net = net
         kw = dict(
-            backend=self._backend, interpret=self.config.interpret, out_dim=self._output_dim
+            backend=self._backend,
+            interpret=self.config.interpret,
+            out_dim=self._output_dim,
+            fused_softmax=self.config.fused_softmax,
         )
         self._score = jax.jit(functools.partial(score_fn, **kw))
         self._score_masked = jax.jit(
@@ -181,7 +219,9 @@ class Scorer:
         )
 
     @staticmethod
-    def _masked_from_acts_fn(net, acts, masks, *, backend, interpret, semantics, out_dim):
+    def _masked_from_acts_fn(
+        net, acts, masks, *, backend, interpret, semantics, out_dim, fused_softmax=False
+    ):
         logits = output_logits(net, acts, backend, interpret)
         if out_dim != logits.shape[-1]:
             logits = logits[:, :out_dim]

@@ -136,6 +136,147 @@ def fused_hidden_layer(
     )
 
 
+def _stats_kernel_factory(out_dim: int, bn: int, masked: bool, semantics: str):
+    """Kernel computing an output-logits block plus online softmax stats.
+
+    Grid is (frame blocks, node blocks) with node blocks iterating fastest;
+    per frame block the kernel keeps running (max, sum-of-exp) in VMEM
+    scratch — flash-softmax style — and emits them at the last node block.
+    The XLA epilogue then normalizes with a single read of the logits
+    (exp(z - m)/s) instead of the three passes a standalone softmax costs.
+
+    Columns >= out_dim are MXU padding (pad_qnet_for_tpu): they are excluded
+    from the stats via -inf and never read by the epilogue, which slices.
+    """
+
+    def kernel(*refs):
+        if masked:
+            x_ref, w_ref, colsum_ref, bias_ref, inv_ref, mask_ref, z_ref, m_ref, s_ref, m_acc, s_acc = refs
+        else:
+            x_ref, w_ref, colsum_ref, bias_ref, inv_ref, z_ref, m_ref, s_ref, m_acc, s_acc = refs
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+        z = (acc + colsum_ref[:]).astype(jnp.float32) * inv_ref[0, 0] + bias_ref[:]
+        if masked:
+            if semantics == "reference":
+                # inactive senones keep logit 0 (dnn.cc:369-389)
+                z = jnp.where(mask_ref[:] != 0, z, 0.0)
+            else:
+                z = jnp.where(mask_ref[:] != 0, z, -jnp.inf)
+        # exclude MXU padding columns from the stats
+        col = j * bn + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+        z = jnp.where(col < out_dim, z, -jnp.inf)
+        z_ref[:] = z
+
+        # NEG_CAP instead of -inf keeps fully-padded blocks NaN-free
+        # (exp(-inf - -inf) would poison the running sum)
+        NEG_CAP = jnp.float32(-1e30)
+
+        @pl.when(j == 0)
+        def _():
+            m_acc[:] = jnp.full_like(m_acc, NEG_CAP)
+            s_acc[:] = jnp.zeros_like(s_acc)
+
+        zm = jnp.maximum(jnp.max(z, axis=1, keepdims=True), NEG_CAP)  # (bm, 1)
+        m_old = m_acc[:]
+        m_new = jnp.maximum(m_old, zm)
+        # sum exp with rescaling of the previously accumulated sum
+        block_sum = jnp.sum(jnp.exp(z - zm), axis=1, keepdims=True)
+        s_acc[:] = s_acc[:] * jnp.exp(m_old - m_new) + block_sum * jnp.exp(zm - m_new)
+        m_acc[:] = m_new
+
+        @pl.when(j == nj - 1)
+        def _():
+            m_ref[:] = m_acc[:]
+            s_ref[:] = s_acc[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dim", "semantics", "block_frames", "block_nodes", "interpret"),
+)
+def output_layer_posteriors(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    masks: jax.Array | None = None,
+    *,
+    out_dim: int,
+    semantics: str = "reference",
+    block_frames: int = 1024,
+    block_nodes: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused output layer + softmax -> posteriors f32 [B, out_dim].
+
+    One MXU pass produces logits and flash-style softmax stats; a single
+    fused XLA read normalizes (and slices off MXU padding).  `masks`
+    ([B, N] nonzero=active, optional) applies the lazy semantics in-kernel.
+    """
+    b, k = acts_i8.shape
+    n = w_i8.shape[1]
+    bm = min(block_frames, b)
+    while b % bm:
+        bm //= 2
+    bn = min(block_nodes, n)
+    while n % bn:
+        bn //= 2
+    _check_shapes(acts_i8, w_i8, colsum128_i32, bias_f32, bm, bn)
+    if masks is not None and masks.shape != (b, n):
+        raise ValueError(f"masks must be [{b}, {n}], got {masks.shape}")
+    masked = masks is not None
+    grid = (b // bm, n // bn)  # node blocks iterate fastest (stats sweep)
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [
+        acts_i8,
+        w_i8,
+        colsum128_i32.reshape(1, n),
+        bias_f32.reshape(1, n),
+        jnp.asarray(inv_scale_f32, jnp.float32).reshape(1, 1),
+    ]
+    if masked:
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM))
+        args.append(masks)
+    z, m, s = pl.pallas_call(
+        _stats_kernel_factory(out_dim, bn, masked, semantics),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bm, LANES), jnp.float32),
+            pltpu.VMEM((bm, LANES), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * k,
+            bytes_accessed=b * k + k * n + 4 * b * n,
+            transcendentals=b * n,
+        ),
+        interpret=interpret,
+    )(*args)
+    # single fused pass: slice padding, normalize
+    return jnp.exp(z[:, :out_dim] - m[:, :1]) / s[:, :1]
+
+
 @functools.partial(jax.jit, static_argnames=("block_frames", "block_nodes", "interpret"))
 def output_layer_logits(
     acts_i8: jax.Array,

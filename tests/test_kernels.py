@@ -58,6 +58,45 @@ def test_unpadded_shapes_rejected(rng):
         pk.fused_hidden_layer(x, w, cs, jnp.float32(1.0), bias, interpret=True)
 
 
+class TestFusedPosteriors:
+    """output_layer_posteriors = matmul + stats + fused normalize."""
+
+    def test_matches_xla_softmax(self, rng):
+        args = rand_layer(rng, 128, 256, 640)
+        out_dim = 600  # pretend last 40 columns are MXU padding
+        ours = pk.output_layer_posteriors(*args, out_dim=out_dim, interpret=True)
+        logits = xops.output_logits(*args)[:, :out_dim]
+        ref = jax.nn.softmax(logits, axis=-1)
+        assert ours.shape == (128, out_dim)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("semantics", ["reference", "active_only"])
+    def test_masked_matches_xla(self, rng, semantics):
+        args = rand_layer(rng, 128, 256, 640)
+        out_dim = 600
+        masks = (rng.random((128, 640)) < 0.4).astype(np.uint8)
+        masks[:, out_dim:] = 0
+        ours = pk.output_layer_posteriors(
+            *args, jnp.asarray(masks), out_dim=out_dim, semantics=semantics, interpret=True
+        )
+        logits = xops.output_logits(*args)[:, :out_dim]
+        mask_bool = jnp.asarray(masks[:, :out_dim] != 0)
+        if semantics == "reference":
+            ref = xops.masked_softmax_reference(logits, mask_bool)
+        else:
+            ref = xops.masked_softmax_active_only(logits, mask_bool)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    def test_multiblock_stats_sweep(self, rng):
+        """Node dim spanning several blocks exercises the online max/sum."""
+        args = rand_layer(rng, 64, 128, 1536)
+        ours = pk.output_layer_posteriors(
+            *args, out_dim=1536, block_nodes=256, interpret=True
+        )
+        ref = jax.nn.softmax(xops.output_logits(*args), axis=-1)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
 def test_end_to_end_pallas_scorer_interpret(small_net, features_16khz):
     """Whole engine on the pallas backend (interpret mode) vs XLA backend."""
     from fastdnn_tpu.config import EngineConfig
