@@ -34,7 +34,8 @@ from .models.feedforward import (
     random_net,
     to_raw,
 )
-from .quant.quantize import QuantizedNet, quantize_layer, quantize_net
+from .quant.quantize import QuantizedNet, pad_qnet_for_tpu, quantize_layer, quantize_net
+from .quant.serialize import load_qnet, save_qnet
 
 __version__ = "0.1.0"
 
@@ -65,6 +66,9 @@ __all__ = [
     "kaldi_text",
     "load_model",
     "load_model_text",
+    "load_qnet",
+    "pad_qnet_for_tpu",
+    "save_qnet",
     "quantize_layer",
     "quantize_net",
     "random_net",

@@ -1,0 +1,58 @@
+"""QuantizedNet serialization — the quantized-model checkpoint.
+
+The reference's durable artifact is the float binary model; quantization is
+redone at every load (/root/reference/src/cpp/jni_dnn.cc:7-18).  For serving
+it is better to persist the quantized net itself: int8 weights are 4x
+smaller on disk and load straight onto the device with no quantization pass.
+Format: a single .npz with a version stamp (numpy is the portable container;
+no new dependency).
+
+The float model keeps using the reference-compatible binary format
+(fastdnn_tpu/formats/binary.py) so artifacts interop with the reference.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .quantize import QuantizedNet
+
+FORMAT_VERSION = 1
+
+
+def save_qnet(qnet: QuantizedNet, path) -> None:
+    """Persist a QuantizedNet to `path` (.npz)."""
+    n = len(qnet.weights)
+    arrays = {
+        "format_version": np.int32(FORMAT_VERSION),
+        "n_quantized_layers": np.int32(n),
+        "input_w": np.asarray(qnet.input_w),
+        "input_b": np.asarray(qnet.input_b),
+    }
+    for i in range(n):
+        arrays[f"w_{i}"] = np.asarray(qnet.weights[i])
+        arrays[f"colsum_{i}"] = np.asarray(qnet.colsum128[i])
+        arrays[f"b_{i}"] = np.asarray(qnet.biases[i])
+        arrays[f"inv_scale_{i}"] = np.asarray(qnet.inv_scales[i])
+        arrays[f"mult_{i}"] = np.asarray(qnet.multipliers[i])
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def load_qnet(path) -> QuantizedNet:
+    """Load a QuantizedNet saved by `save_qnet`."""
+    with np.load(path) as z:
+        version = int(z["format_version"])
+        if version != FORMAT_VERSION:
+            raise ValueError(f"unsupported qnet format version {version}")
+        n = int(z["n_quantized_layers"])
+        return QuantizedNet(
+            input_w=jnp.asarray(z["input_w"]),
+            input_b=jnp.asarray(z["input_b"]),
+            weights=tuple(jnp.asarray(z[f"w_{i}"]) for i in range(n)),
+            colsum128=tuple(jnp.asarray(z[f"colsum_{i}"]) for i in range(n)),
+            biases=tuple(jnp.asarray(z[f"b_{i}"]) for i in range(n)),
+            inv_scales=tuple(jnp.asarray(z[f"inv_scale_{i}"]) for i in range(n)),
+            multipliers=tuple(jnp.asarray(z[f"mult_{i}"]) for i in range(n)),
+        )

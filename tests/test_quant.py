@@ -116,3 +116,41 @@ class TestQuantizeNet:
         # jit-able as an argument
         f = jax.jit(lambda q: q.inv_scales[0] * 2)
         f(qnet)
+
+
+class TestSerialization:
+    def test_qnet_roundtrip(self, small_net, tmp_path):
+        import numpy as np
+
+        from fastdnn_tpu.engine.scorer import Scorer
+        from fastdnn_tpu.quant.serialize import load_qnet, save_qnet
+
+        qnet = quantize_net(small_net)
+        path = tmp_path / "model.qnet.npz"
+        save_qnet(qnet, path)
+        back = load_qnet(path)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(qnet), jax.tree_util.tree_leaves(back)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert a.dtype == b.dtype
+        # loaded net scores identically
+        frames = np.zeros((4, 432), np.float32)
+        np.testing.assert_array_equal(
+            Scorer(back).score(frames), Scorer(qnet).score(frames)
+        )
+
+    def test_version_check(self, small_net, tmp_path):
+        import numpy as np
+        import pytest
+
+        from fastdnn_tpu.quant.serialize import load_qnet, save_qnet
+
+        path = tmp_path / "m.npz"
+        save_qnet(quantize_net(small_net), path)
+        data = dict(np.load(path))
+        data["format_version"] = np.int32(99)
+        with open(path, "wb") as f:
+            np.savez(f, **data)
+        with pytest.raises(ValueError):
+            load_qnet(path)
