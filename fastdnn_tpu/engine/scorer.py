@@ -38,18 +38,29 @@ from ..ops import matmul as xops
 from ..quant.quantize import QuantizedNet
 from ..utils.align import aligned_size
 
+#: the fused-softmax output kernel keeps two [B, 128] f32 stats scratches in
+#: VMEM for the whole grid; past 8192 frames they exceed the ~16 MB scoped
+#: VMEM budget, so larger batches fall back to logits + XLA softmax.
+MAX_FUSED_SOFTMAX_FRAMES = 8192
+
 
 def _default_platform() -> str:
     return jax.devices()[0].platform
 
 
-def hidden_forward(net: QuantizedNet, frames: jax.Array, backend: str, interpret: bool):
+def hidden_forward(
+    net: QuantizedNet,
+    frames: jax.Array,
+    backend: str,
+    interpret: bool,
+    input_precision: str = "high",
+):
     """Input layer + all hidden layers -> shifted-int8 activations [B, H].
 
     Equivalent of CalculateUntilLastHiddenLayer (/root/reference/src/cpp/
     dnn.cc:402-424), minus the in-place shift/scale (fused at quantize time).
     """
-    acts = xops.input_layer_step(frames, net.input_w, net.input_b)
+    acts = xops.input_layer_step(frames, net.input_w, net.input_b, input_precision)
     if backend == "pallas":
         from . import pallas_backend  # local import: TPU-only dependency path
 
@@ -95,14 +106,15 @@ def score_fn(
     interpret: bool = False,
     out_dim: Optional[int] = None,
     fused_softmax: bool = False,
+    input_precision: str = "high",
 ):
     """Full forward pass -> posteriors f32 [B, out].  Jittable.
 
     `out_dim` slices away MXU padding columns (pad_qnet_for_tpu) before the
     softmax — padded logits are exactly 0.0 and must not join the denominator.
     """
-    acts = hidden_forward(net, frames, backend, interpret)
-    if backend == "pallas" and fused_softmax:
+    acts = hidden_forward(net, frames, backend, interpret, input_precision)
+    if backend == "pallas" and fused_softmax and frames.shape[0] <= MAX_FUSED_SOFTMAX_FRAMES:
         from . import pallas_backend
 
         return pallas_backend.output_posteriors(
@@ -131,14 +143,15 @@ def score_masked_fn(
     semantics: str = "reference",
     out_dim: Optional[int] = None,
     fused_softmax: bool = False,
+    input_precision: str = "high",
 ):
     """Lazy/masked forward pass -> posteriors f32 [B, out].  Jittable.
 
     masks: [B, out], nonzero = senone active for that frame (the reference's
     byte mask, /root/reference/src/java/suskun/nn/QuantizedDnn.java:88-93).
     """
-    acts = hidden_forward(net, frames, backend, interpret)
-    if backend == "pallas" and fused_softmax:
+    acts = hidden_forward(net, frames, backend, interpret, input_precision)
+    if backend == "pallas" and fused_softmax and frames.shape[0] <= MAX_FUSED_SOFTMAX_FRAMES:
         from . import pallas_backend
 
         true_out = out_dim if out_dim is not None else net.output_dim
@@ -189,6 +202,7 @@ class Scorer:
             interpret=self.config.interpret,
             out_dim=self._output_dim,
             fused_softmax=self.config.fused_softmax,
+            input_precision=self.config.input_precision,
         )
         self._score = jax.jit(functools.partial(score_fn, **kw))
         self._score_masked = jax.jit(
@@ -196,7 +210,10 @@ class Scorer:
         )
         self._hidden = jax.jit(
             functools.partial(
-                hidden_forward, backend=self._backend, interpret=self.config.interpret
+                hidden_forward,
+                backend=self._backend,
+                interpret=self.config.interpret,
+                input_precision=self.config.input_precision,
             )
         )
         self._masked_from_acts = jax.jit(
@@ -220,7 +237,16 @@ class Scorer:
 
     @staticmethod
     def _masked_from_acts_fn(
-        net, acts, masks, *, backend, interpret, semantics, out_dim, fused_softmax=False
+        net,
+        acts,
+        masks,
+        *,
+        backend,
+        interpret,
+        semantics,
+        out_dim,
+        fused_softmax=False,
+        input_precision="high",  # unused: acts are already computed
     ):
         logits = output_logits(net, acts, backend, interpret)
         if out_dim != logits.shape[-1]:

@@ -36,17 +36,19 @@ def int8_matmul(a_i8: jax.Array, w_i8: jax.Array) -> jax.Array:
     )
 
 
-def input_layer_step(frames_f32, w_f32, b_f32):
+def input_layer_step(frames_f32, w_f32, b_f32, precision: str = "high"):
     """Float first layer -> shifted-int8 quantized sigmoid activations.
 
     The input layer is not quantized (input dynamic range too large,
     /root/reference/src/cpp/dnn.cc:217-218).  Feature shift/scale is assumed
     fused into (w, b) already.
+
+    precision: MXU pass count for the f32 matmul — "high" (3-pass bf16,
+    ~1e-6 relative error, invisible at the sigmoid LUT's 0.01 resolution) is
+    the sweet spot; "highest" (6-pass) for bit-level reproducibility studies,
+    "default" (1-pass bf16) when a few flipped sigmoid counts are acceptable.
     """
-    # full f32 MXU precision: the TPU default (bf16 passes) can move linear
-    # activations by ~1e-2, i.e. a few quantized-sigmoid counts; the input
-    # layer is ~2% of total FLOPs so exactness here is nearly free.
-    lin = jnp.dot(frames_f32, w_f32, precision=jax.lax.Precision.HIGHEST) + b_f32
+    lin = jnp.dot(frames_f32, w_f32, precision=precision) + b_f32
     return quantized_sigmoid_shifted_i8(lin)
 
 

@@ -136,17 +136,21 @@ def fused_hidden_layer(
     )
 
 
-def _stats_kernel_factory(out_dim: int, bn: int, masked: bool, semantics: str):
-    """Kernel computing an output-logits block plus online softmax stats.
+def _stats_kernel_factory(out_dim: int, bm: int, bn: int, masked: bool, semantics: str):
+    """Kernel computing output-logits blocks plus online softmax stats.
 
-    Grid is (frame blocks, node blocks) with node blocks iterating fastest;
-    per frame block the kernel keeps running (max, sum-of-exp) in VMEM
-    scratch — flash-softmax style — and emits them at the last node block.
-    The XLA epilogue then normalizes with a single read of the logits
-    (exp(z - m)/s) instead of the three passes a standalone softmax costs.
+    Grid is (node blocks, frame blocks) with FRAMES iterating fastest, so a
+    weight block is DMA'd once and reused across every frame block (the same
+    order as the plain layer kernels).  Running (max, sum-of-exp) per frame
+    live in a [B, 128] VMEM scratch that persists across the whole grid —
+    flash-softmax style — and are emitted on the last node sweep via a
+    conditional output index map.  The XLA epilogue then normalizes with a
+    single read of the logits (exp(z - m)/s) instead of the two-read,
+    one-write standalone softmax.
 
     Columns >= out_dim are MXU padding (pad_qnet_for_tpu): they are excluded
-    from the stats via -inf and never read by the epilogue, which slices.
+    from the stats via a large negative cap and never read by the epilogue,
+    which slices.
     """
 
     def kernel(*refs):
@@ -154,42 +158,46 @@ def _stats_kernel_factory(out_dim: int, bn: int, masked: bool, semantics: str):
             x_ref, w_ref, colsum_ref, bias_ref, inv_ref, mask_ref, z_ref, m_ref, s_ref, m_acc, s_acc = refs
         else:
             x_ref, w_ref, colsum_ref, bias_ref, inv_ref, z_ref, m_ref, s_ref, m_acc, s_acc = refs
-        j = pl.program_id(1)
-        nj = pl.num_programs(1)
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        nj = pl.num_programs(0)
         acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
         z = (acc + colsum_ref[:]).astype(jnp.float32) * inv_ref[0, 0] + bias_ref[:]
+
+        # NEG_CAP instead of -inf keeps the running stats NaN-free
+        # (exp(-inf - -inf) would poison the sum on fully-masked rows)
+        NEG_CAP = jnp.float32(-1e30)
+
         if masked:
             if semantics == "reference":
                 # inactive senones keep logit 0 (dnn.cc:369-389)
                 z = jnp.where(mask_ref[:] != 0, z, 0.0)
             else:
-                z = jnp.where(mask_ref[:] != 0, z, -jnp.inf)
+                z = jnp.where(mask_ref[:] != 0, z, NEG_CAP)
         # exclude MXU padding columns from the stats
         col = j * bn + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-        z = jnp.where(col < out_dim, z, -jnp.inf)
+        z = jnp.where(col < out_dim, z, NEG_CAP)
         z_ref[:] = z
 
-        # NEG_CAP instead of -inf keeps fully-padded blocks NaN-free
-        # (exp(-inf - -inf) would poison the running sum)
-        NEG_CAP = jnp.float32(-1e30)
+        rows = pl.ds(i * bm, bm)
 
         @pl.when(j == 0)
         def _():
-            m_acc[:] = jnp.full_like(m_acc, NEG_CAP)
-            s_acc[:] = jnp.zeros_like(s_acc)
+            m_acc[rows] = jnp.full((bm, LANES), NEG_CAP, jnp.float32)
+            s_acc[rows] = jnp.zeros((bm, LANES), jnp.float32)
 
         zm = jnp.maximum(jnp.max(z, axis=1, keepdims=True), NEG_CAP)  # (bm, 1)
-        m_old = m_acc[:]
+        m_old = m_acc[rows]
         m_new = jnp.maximum(m_old, zm)
         # sum exp with rescaling of the previously accumulated sum
         block_sum = jnp.sum(jnp.exp(z - zm), axis=1, keepdims=True)
-        s_acc[:] = s_acc[:] * jnp.exp(m_old - m_new) + block_sum * jnp.exp(zm - m_new)
-        m_acc[:] = m_new
+        s_acc[rows] = s_acc[rows] * jnp.exp(m_old - m_new) + block_sum * jnp.exp(zm - m_new)
+        m_acc[rows] = m_new
 
         @pl.when(j == nj - 1)
         def _():
-            m_ref[:] = m_acc[:]
-            s_ref[:] = s_acc[:]
+            m_ref[:] = m_acc[rows]
+            s_ref[:] = s_acc[rows]
 
     return kernel
 
@@ -208,7 +216,7 @@ def output_layer_posteriors(
     *,
     out_dim: int,
     semantics: str = "reference",
-    block_frames: int = 1024,
+    block_frames: int = 256,
     block_nodes: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
@@ -230,13 +238,15 @@ def output_layer_posteriors(
     if masks is not None and masks.shape != (b, n):
         raise ValueError(f"masks must be [{b}, {n}], got {masks.shape}")
     masked = masks is not None
-    grid = (b // bm, n // bn)  # node blocks iterate fastest (stats sweep)
+    grid = (n // bn, b // bm)  # frames iterate fastest: weight block reused
+    nj = n // bn
+    last_sweep = lambda j, i: (jnp.where(j == nj - 1, i, 0), 0)
     in_specs = [
-        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
     ]
     args = [
         acts_i8,
@@ -246,16 +256,19 @@ def output_layer_posteriors(
         jnp.asarray(inv_scale_f32, jnp.float32).reshape(1, 1),
     ]
     if masked:
-        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM))
         args.append(masks)
     z, m, s = pl.pallas_call(
-        _stats_kernel_factory(out_dim, bn, masked, semantics),
+        _stats_kernel_factory(out_dim, bm, bn, masked, semantics),
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            # stats blocks all alias block 0 until the last node sweep, when
+            # the index map walks the real frame blocks — so only final stats
+            # ever reach HBM (one flush per frame block)
+            pl.BlockSpec((bm, LANES), last_sweep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, LANES), last_sweep, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n), jnp.float32),
@@ -263,8 +276,8 @@ def output_layer_posteriors(
             jax.ShapeDtypeStruct((b, LANES), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bm, LANES), jnp.float32),
-            pltpu.VMEM((bm, LANES), jnp.float32),
+            pltpu.VMEM((b, LANES), jnp.float32),
+            pltpu.VMEM((b, LANES), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * k,

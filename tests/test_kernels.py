@@ -96,6 +96,19 @@ class TestFusedPosteriors:
         ref = jax.nn.softmax(xops.output_logits(*args), axis=-1)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
+    def test_multiblock_frames_and_nodes(self, rng):
+        """Several frame blocks x several node sweeps: stats for each frame
+        block accumulate in the persistent scratch across non-adjacent grid
+        steps and are emitted only on the last node sweep (the conditional
+        output index map)."""
+        args = rand_layer(rng, 512, 128, 1024)
+        ours = pk.output_layer_posteriors(
+            *args, out_dim=1000, block_frames=128, block_nodes=256, interpret=True
+        )
+        ref = jax.nn.softmax(xops.output_logits(*args)[:, :1000], axis=-1)
+        assert ours.shape == (512, 1000)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
 
 def test_end_to_end_pallas_scorer_interpret(small_net, features_16khz):
     """Whole engine on the pallas backend (interpret mode) vs XLA backend."""
