@@ -74,6 +74,11 @@ class EngineConfig:
     #: stats scratch must fit scoped VMEM); larger batches and the XLA
     #: backend use plain logits + XLA softmax automatically.
     fused_softmax: bool = True
+    #: store output logits + posteriors as bfloat16 in the fused-softmax
+    #: kernel, halving output-stage HBM traffic.  Softmax stats stay f32;
+    #: per-logit bf16 rounding bounds the posterior error at ~0.2% x |logit|
+    #: (relative) — fine for ASR decoding, off by default for bit-parity.
+    fast_posteriors: bool = False
 
     # Lazy / masked output -------------------------------------------------
     #: "reference" reproduces the reference softmax-over-zeros semantics for

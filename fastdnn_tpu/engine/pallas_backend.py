@@ -66,6 +66,7 @@ def output_posteriors(
     out_dim: int,
     semantics: str = "reference",
     interpret: bool = False,
+    fast: bool = False,
 ) -> jax.Array:
     """Fused output matmul + (optional mask) + softmax -> [B, out_dim]."""
     return pk.output_layer_posteriors(
@@ -78,4 +79,5 @@ def output_posteriors(
         out_dim=out_dim,
         semantics=semantics,
         interpret=interpret,
+        fast=fast,
     )

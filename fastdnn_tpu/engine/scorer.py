@@ -107,6 +107,7 @@ def score_fn(
     out_dim: Optional[int] = None,
     fused_softmax: bool = False,
     input_precision: str = "high",
+    fast_posteriors: bool = False,
 ):
     """Full forward pass -> posteriors f32 [B, out].  Jittable.
 
@@ -126,6 +127,7 @@ def score_fn(
             None,
             out_dim=out_dim if out_dim is not None else net.output_dim,
             interpret=interpret,
+            fast=fast_posteriors,
         )
     logits = output_logits(net, acts, backend, interpret)
     if out_dim is not None and out_dim != logits.shape[-1]:
@@ -144,6 +146,7 @@ def score_masked_fn(
     out_dim: Optional[int] = None,
     fused_softmax: bool = False,
     input_precision: str = "high",
+    fast_posteriors: bool = False,
 ):
     """Lazy/masked forward pass -> posteriors f32 [B, out].  Jittable.
 
@@ -170,6 +173,7 @@ def score_masked_fn(
             out_dim=true_out,
             semantics=semantics,
             interpret=interpret,
+            fast=fast_posteriors,
         )
     logits = output_logits(net, acts, backend, interpret)
     if out_dim is not None and out_dim != logits.shape[-1]:
@@ -203,6 +207,7 @@ class Scorer:
             out_dim=self._output_dim,
             fused_softmax=self.config.fused_softmax,
             input_precision=self.config.input_precision,
+            fast_posteriors=self.config.fast_posteriors,
         )
         self._score = jax.jit(functools.partial(score_fn, **kw))
         self._score_masked = jax.jit(
@@ -247,6 +252,7 @@ class Scorer:
         out_dim,
         fused_softmax=False,
         input_precision="high",  # unused: acts are already computed
+        fast_posteriors=False,  # plain-logits path stays f32
     ):
         logits = output_logits(net, acts, backend, interpret)
         if out_dim != logits.shape[-1]:
@@ -294,7 +300,7 @@ class Scorer:
             return np.zeros((0, self.output_dim), np.float32)
         padded, n = self._prepare(frames)
         out = self._score(self.net, padded)
-        return np.asarray(out[:n])
+        return np.asarray(out[:n], dtype=np.float32)
 
     def score_device(self, frames: jax.Array) -> jax.Array:
         """Device-resident variant (no host transfers, no padding)."""
@@ -325,7 +331,7 @@ class Scorer:
             out = self._gathered(self.net, acts, jnp.asarray(masks_p), jnp.asarray(idx))
         else:
             out = self._score_masked(self.net, padded, jnp.asarray(masks_p))
-        return np.asarray(out[:n])
+        return np.asarray(out[:n], dtype=np.float32)
 
     def _use_gathered(self, n_frames: int, masks: np.ndarray) -> bool:
         mode = self.config.lazy_mode

@@ -136,7 +136,9 @@ def fused_hidden_layer(
     )
 
 
-def _stats_kernel_factory(out_dim: int, bm: int, bn: int, masked: bool, semantics: str):
+def _stats_kernel_factory(
+    out_dim: int, bm: int, bn: int, masked: bool, semantics: str, z_dtype=jnp.float32
+):
     """Kernel computing output-logits blocks plus online softmax stats.
 
     Grid is (node blocks, frame blocks) with FRAMES iterating fastest, so a
@@ -153,11 +155,18 @@ def _stats_kernel_factory(out_dim: int, bm: int, bn: int, masked: bool, semantic
     which slices.
     """
 
+    fast = z_dtype != jnp.float32
+
     def kernel(*refs):
-        if masked:
-            x_ref, w_ref, colsum_ref, bias_ref, inv_ref, mask_ref, z_ref, m_ref, s_ref, m_acc, s_acc = refs
-        else:
-            x_ref, w_ref, colsum_ref, bias_ref, inv_ref, z_ref, m_ref, s_ref, m_acc, s_acc = refs
+        refs = list(refs)
+        x_ref, w_ref, colsum_ref, bias_ref, inv_ref = refs[:5]
+        del refs[:5]
+        mask_ref = refs.pop(0) if masked else None
+        z_ref, m_ref, s_ref = refs[:3]
+        del refs[:3]
+        bmax_ref = refs.pop(0) if fast else None
+        m_acc, s_acc = refs[:2]
+        bmax_acc = refs[2] if fast else None
         j = pl.program_id(0)
         i = pl.program_id(1)
         nj = pl.num_programs(0)
@@ -177,7 +186,6 @@ def _stats_kernel_factory(out_dim: int, bm: int, bn: int, masked: bool, semantic
         # exclude MXU padding columns from the stats
         col = j * bn + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
         z = jnp.where(col < out_dim, z, NEG_CAP)
-        z_ref[:] = z
 
         rows = pl.ds(i * bm, bm)
 
@@ -187,6 +195,22 @@ def _stats_kernel_factory(out_dim: int, bm: int, bn: int, masked: bool, semantic
             s_acc[rows] = jnp.zeros((bm, LANES), jnp.float32)
 
         zm = jnp.maximum(jnp.max(z, axis=1, keepdims=True), NEG_CAP)  # (bm, 1)
+        if fast:
+            # store z relative to the block-row max: the low-precision
+            # rounding error is then proportional to (zm - z), which is
+            # exactly where softmax is insensitive — senones near the max
+            # (the ones with mass) round to ~full precision.  The block
+            # maxes ride a [B, 128] side channel (lane j) for the epilogue.
+            z_ref[:] = (z - zm).astype(z_dtype)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bm, LANES), 1)
+
+            @pl.when(j == 0)
+            def _():
+                bmax_acc[rows] = jnp.zeros((bm, LANES), jnp.float32)
+
+            bmax_acc[rows] = jnp.where(lane == j, zm, bmax_acc[rows])
+        else:
+            z_ref[:] = z
         m_old = m_acc[rows]
         m_new = jnp.maximum(m_old, zm)
         # sum exp with rescaling of the previously accumulated sum
@@ -198,13 +222,15 @@ def _stats_kernel_factory(out_dim: int, bm: int, bn: int, masked: bool, semantic
         def _():
             m_ref[:] = m_acc[rows]
             s_ref[:] = s_acc[rows]
+            if fast:
+                bmax_ref[:] = bmax_acc[rows]
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_dim", "semantics", "block_frames", "block_nodes", "interpret"),
+    static_argnames=("out_dim", "semantics", "block_frames", "block_nodes", "interpret", "fast"),
 )
 def output_layer_posteriors(
     acts_i8: jax.Array,
@@ -219,12 +245,21 @@ def output_layer_posteriors(
     block_frames: int = 256,
     block_nodes: int = 512,
     interpret: bool = False,
+    fast: bool = False,
 ) -> jax.Array:
     """Fused output layer + softmax -> posteriors f32 [B, out_dim].
 
     One MXU pass produces logits and flash-style softmax stats; a single
     fused XLA read normalizes (and slices off MXU padding).  `masks`
     ([B, N] nonzero=active, optional) applies the lazy semantics in-kernel.
+
+    fast=True stores the logits buffer and the returned posteriors as
+    bfloat16, halving the output-stage HBM traffic.  The buffer holds
+    z - blockmax (f32 stats and block maxes ride exact side channels), so
+    bf16 rounding error is ~2^-9 x (blockmax - z) — largest only for
+    senones far below the max, whose posteriors are ~0 anyway.  Posteriors
+    with non-negligible mass come out within ~0.3% relative.  Returned
+    dtype is bfloat16; requires n <= 128 node blocks.
     """
     b, k = acts_i8.shape
     n = w_i8.shape[1]
@@ -258,27 +293,37 @@ def output_layer_posteriors(
     if masked:
         in_specs.append(pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM))
         args.append(masks)
-    z, m, s = pl.pallas_call(
-        _stats_kernel_factory(out_dim, bm, bn, masked, semantics),
+    z_dtype = jnp.bfloat16 if fast else jnp.float32
+    if fast and nj > LANES:
+        raise ValueError(f"fast mode supports at most {LANES} node blocks, got {nj}")
+    out_specs = [
+        pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        # stats blocks all alias block 0 until the last node sweep, when
+        # the index map walks the real frame blocks — so only final stats
+        # ever reach HBM (one flush per frame block)
+        pl.BlockSpec((bm, LANES), last_sweep, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, LANES), last_sweep, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n), z_dtype),
+        jax.ShapeDtypeStruct((b, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((b, LANES), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((b, LANES), jnp.float32),
+        pltpu.VMEM((b, LANES), jnp.float32),
+    ]
+    if fast:
+        out_specs.append(pl.BlockSpec((bm, LANES), last_sweep, memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, LANES), jnp.float32))
+        scratch.append(pltpu.VMEM((b, LANES), jnp.float32))
+    outs = pl.pallas_call(
+        _stats_kernel_factory(out_dim, bm, bn, masked, semantics, z_dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            # stats blocks all alias block 0 until the last node sweep, when
-            # the index map walks the real frame blocks — so only final stats
-            # ever reach HBM (one flush per frame block)
-            pl.BlockSpec((bm, LANES), last_sweep, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, LANES), last_sweep, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((b, LANES), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((b, LANES), jnp.float32),
-            pltpu.VMEM((b, LANES), jnp.float32),
-        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * k,
             bytes_accessed=b * k + k * n + 4 * b * n,
@@ -287,7 +332,16 @@ def output_layer_posteriors(
         interpret=interpret,
     )(*args)
     # single fused pass: slice padding, normalize
-    return jnp.exp(z[:, :out_dim] - m[:, :1]) / s[:, :1]
+    if fast:
+        z, m, s, bmax = outs
+        # rebuild z = z_rel + blockmax(lane j); equal-repeat is a broadcast,
+        # so XLA fuses it into the normalize pass without materializing
+        bm_cols = jnp.repeat(bmax[:, :nj], bn, axis=1)[:, :out_dim]
+        p = jnp.exp(z[:, :out_dim].astype(jnp.float32) + bm_cols - m[:, :1]) / s[:, :1]
+    else:
+        z, m, s = outs
+        p = jnp.exp(z[:, :out_dim] - m[:, :1]) / s[:, :1]
+    return p.astype(z_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_frames", "block_nodes", "interpret"))

@@ -96,6 +96,21 @@ class TestFusedPosteriors:
         ref = jax.nn.softmax(xops.output_logits(*args), axis=-1)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
+    def test_fast_bf16_mode(self, rng):
+        """fast=True stores logits/posteriors as bf16; stats stay f32, so
+        the result matches f32 softmax to bf16 rounding (~0.4% relative)."""
+        args = rand_layer(rng, 128, 256, 640)
+        fast = pk.output_layer_posteriors(*args, out_dim=600, interpret=True, fast=True)
+        assert fast.dtype == jnp.bfloat16
+        full = pk.output_layer_posteriors(*args, out_dim=600, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(fast, np.float32), np.asarray(full), rtol=2e-2, atol=1e-4
+        )
+        # probabilities still normalized
+        np.testing.assert_allclose(
+            np.asarray(fast, np.float32).sum(-1), 1.0, rtol=1e-2
+        )
+
     def test_multiblock_frames_and_nodes(self, rng):
         """Several frame blocks x several node sweeps: stats for each frame
         block accumulate in the persistent scratch across non-adjacent grid
