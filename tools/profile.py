@@ -1,0 +1,207 @@
+"""On-device microbenchmarks for kernel tuning (run on the real TPU).
+
+The TPU is reached through a relay with ~25 ms RTT and millisecond jitter,
+and its effective throughput drifts between sessions (observed up to ~40%).
+Rules that make numbers trustworthy here:
+
+  * compare variants only WITHIN one invocation (one process, interleaved);
+  * time long unrolled chains (the marginal between a 4-rep and a 24+-rep
+    jit cancels RTT and dispatch);
+  * treat `jax.lax.fori_loop` timings as biased — the loop carry defeats
+    some XLA scheduling; use unrolled chains for absolute numbers.
+
+Usage:
+    python tools/profile.py variants   # full-net: plain/fused/fast x precision
+    python tools/profile.py stages     # per-stage: input / hidden / output
+    python tools/profile.py dots       # raw s8xs8 vs bf16 matmul rate
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B = 8192
+REPS_LO, REPS_HI, ITERS = 4, 24, 7
+
+
+def _flagship():
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.quant.quantize import pad_qnet_for_tpu, quantize_net
+
+    net = random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
+    qnet = pad_qnet_for_tpu(quantize_net(net, cutoff=3.0))
+    frames = jax.block_until_ready(
+        jax.random.normal(jax.random.PRNGKey(0), (B, qnet.input_dim), jnp.float32)
+    )
+    return qnet, frames
+
+
+def synced_time(fn, iters=ITERS):
+    fn()
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def marginal(make):
+    """make(reps) -> zero-arg callable forcing completion; returns s/rep."""
+    t_lo = synced_time(make(REPS_LO))
+    t_hi = synced_time(make(REPS_HI))
+    return (t_hi - t_lo) / (REPS_HI - REPS_LO)
+
+
+def cmd_variants():
+    from fastdnn_tpu.engine.scorer import score_fn
+
+    qnet, frames = _flagship()
+
+    def chained(fused, prec, fast):
+        def make(reps):
+            @jax.jit
+            def f(x):
+                p = None
+                for _ in range(reps):
+                    p = score_fn(
+                        qnet,
+                        x,
+                        backend="pallas",
+                        out_dim=8000,
+                        fused_softmax=fused,
+                        input_precision=prec,
+                        fast_posteriors=fast,
+                    ).astype(jnp.float32)
+                    x = p[:, : qnet.input_dim] * 50.0 + jnp.sum(p, axis=1, keepdims=True)
+                return p
+
+            return lambda: np.asarray(f(frames)[0, 0])
+
+        return marginal(make)
+
+    for fused, prec, fast in [
+        (False, "highest", False),
+        (False, "high", False),
+        (True, "high", False),
+        (True, "high", True),
+    ]:
+        t = chained(fused, prec, fast)
+        print(
+            f"fused={int(fused)} prec={prec:8s} fast={int(fast)}  "
+            f"{t*1e3:7.3f} ms/batch  audio-s/s {B/t/100:7.0f}",
+            flush=True,
+        )
+
+
+def cmd_stages():
+    from fastdnn_tpu.engine import pallas_backend as pb
+    from fastdnn_tpu.ops.sigmoid import quantized_sigmoid_shifted_i8
+
+    qnet, frames = _flagship()
+    acts0 = jax.block_until_ready(
+        jax.random.randint(jax.random.PRNGKey(2), (B, 2048), -100, 100).astype(jnp.int8)
+    )
+    K = qnet.input_w.shape[0]
+    fl_in = 2 * B * K * 2048
+    fl_h = 2 * B * 2048 * 2048
+    fl_o = 2 * B * 2048 * qnet.weights[-1].shape[1]
+
+    def mk_input(prec):
+        def make(reps):
+            @jax.jit
+            def f(x):
+                a = None
+                for _ in range(reps):
+                    lin = jnp.dot(x, qnet.input_w, precision=prec) + qnet.input_b
+                    a = quantized_sigmoid_shifted_i8(lin)
+                    x = x * 0.5 + a[:, : qnet.input_dim].astype(jnp.float32) * 0.01
+                return a
+
+            return lambda: np.asarray(f(frames)[0, 0])
+
+        return make
+
+    def mk_hidden(reps):
+        @jax.jit
+        def f(a):
+            for _ in range(reps):
+                a = pb.hidden_layer_step(
+                    a, qnet.weights[0], qnet.colsum128[0], qnet.inv_scales[0], qnet.biases[0]
+                )
+            return a
+
+        return lambda: np.asarray(f(acts0)[0, 0])
+
+    def mk_out(reps):
+        @jax.jit
+        def f(a):
+            p = None
+            for _ in range(reps):
+                p = pb.output_posteriors(
+                    a,
+                    qnet.weights[-1],
+                    qnet.colsum128[-1],
+                    qnet.inv_scales[-1],
+                    qnet.biases[-1],
+                    None,
+                    out_dim=8000,
+                )
+                a = (p[:, :2048] * 100).astype(jnp.int8)
+            return p
+
+        return lambda: np.asarray(f(acts0)[0, 0])
+
+    for prec in ("highest", "high"):
+        t = marginal(mk_input(prec))
+        print(f"input {prec:8s} {t*1e3:7.3f} ms  {fl_in/t/1e12:6.1f} T", flush=True)
+    t = marginal(mk_hidden)
+    print(f"hidden x1      {t*1e3:7.3f} ms  {fl_h/t/1e12:6.1f} T", flush=True)
+    t = marginal(mk_out)
+    print(f"output fused   {t*1e3:7.3f} ms  {fl_o/t/1e12:6.1f} T", flush=True)
+
+
+def cmd_dots():
+    key = jax.random.PRNGKey(0)
+    w_i8 = jax.block_until_ready(jax.random.randint(key, (2048, 2048), -127, 127, jnp.int8))
+    a_i8 = jax.block_until_ready(jax.random.randint(key, (B, 2048), -100, 100, jnp.int8))
+    w_bf = jax.block_until_ready(w_i8.astype(jnp.bfloat16))
+    a_bf = jax.block_until_ready(a_i8.astype(jnp.bfloat16))
+    fl = 2 * B * 2048 * 2048
+
+    def mk_i8(reps):
+        @jax.jit
+        def f(a):
+            for _ in range(reps):
+                acc = jax.lax.dot_general(
+                    a, w_i8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+                )
+                a = (acc & 0x7F).astype(jnp.int8)
+            return a
+
+        return lambda: np.asarray(f(a_i8)[0, 0])
+
+    def mk_bf(reps):
+        @jax.jit
+        def f(a):
+            for _ in range(reps):
+                acc = jnp.dot(a, w_bf, preferred_element_type=jnp.float32)
+                a = (acc * 1e-3).astype(jnp.bfloat16)
+            return a
+
+        return lambda: np.asarray(f(a_bf)[0, 0])
+
+    t = marginal(mk_i8)
+    print(f"xla s8xs8->s32 {t*1e3:7.3f} ms  {fl/t/1e12:6.1f} T", flush=True)
+    t = marginal(mk_bf)
+    print(f"xla bf16->f32  {t*1e3:7.3f} ms  {fl/t/1e12:6.1f} T", flush=True)
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "variants"
+    {"variants": cmd_variants, "stages": cmd_stages, "dots": cmd_dots}[what]()
