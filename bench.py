@@ -134,6 +134,55 @@ def run_config(name: str, backend: str, iters: int) -> dict:
             out[f"lazy_frames_per_s_{int(density*100)}pct"] = round(fps)
         return out
 
+    if name == "scaling":
+        # config 5 analog: DP x TP scaling structure on a virtual device mesh.
+        # Real multi-chip hardware is not present in this environment, so this
+        # measures collective/partitioning overhead on N host-CPU devices
+        # (ICI-free), NOT real-chip scaling; it validates that throughput
+        # survives sharding and that DP/TP posteriors match 1-device output.
+        import os
+
+        import numpy as _np
+
+        # force a virtual 8-device CPU mesh (must happen before first backend
+        # use; the platform hook may force-register TPU over JAX_PLATFORMS)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
+        if len(jax.devices()) < 8:
+            raise SystemExit(
+                "scaling config needs >= 8 devices and must run before any "
+                "other backend use in this process"
+            )
+        from fastdnn_tpu.models.feedforward import random_net
+        from fastdnn_tpu.parallel.mesh import make_mesh, shard_frames, shard_qnet
+        from fastdnn_tpu.parallel.sharded import make_gspmd_scorer
+        from fastdnn_tpu.quant.quantize import quantize_net
+
+        b = 1024
+        net = random_net(jax.random.PRNGKey(0), 432, [512] * 3, 4096)
+        qnet = quantize_net(net)
+        frames = np.random.default_rng(0).standard_normal((b, 432)).astype(np.float32)
+        out = {"config": name, "devices": len(jax.devices()),
+               "note": "virtual CPU mesh: partition overhead only, no real ICI"}
+        ref = None
+        for dp, tp in ((1, 1), (8, 1), (1, 8), (4, 2)):
+            mesh = make_mesh(model=tp, data=dp, devices=jax.devices()[: dp * tp])
+            score, _ = make_gspmd_scorer(mesh, out_dim=qnet.output_dim)
+            q = shard_qnet(qnet, mesh)
+            x = shard_frames(jnp.asarray(frames), mesh)
+            post = np.asarray(jax.block_until_ready(score(q, x)))
+            if ref is None:
+                ref = post
+            else:
+                _np.testing.assert_allclose(post, ref, atol=1e-5)
+            t = synced_time(lambda: np.asarray(score(q, x)[0, 0]), iters)
+            out[f"frames_per_s_dp{dp}_tp{tp}"] = round(b / t)
+        return out
+
     raise SystemExit(f"unknown config {name}")
 
 
@@ -147,7 +196,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--config",
         default=None,
-        choices=["bundled-8khz", "bundled-16khz", "midsize-lazy"],
+        choices=["bundled-8khz", "bundled-16khz", "midsize-lazy", "scaling"],
         help="run a BASELINE.json secondary config instead of the headline",
     )
     args = p.parse_args(argv)
