@@ -1,0 +1,217 @@
+"""Scoring server: TCP front-end over the streaming engine.
+
+    python -m fastdnn_tpu.cli.serve MODEL --port 8477 [--backend auto]
+        [--cutoff 3.0] [--max-batch-frames 8192] [--max-wait-ms 3]
+
+Concurrent clients submit utterances; the StreamingScorer packs them into
+shared MXU batches (the TPU-native replacement for the reference's
+thread-per-caller JNI model — see engine/stream.py).
+
+Wire protocol (all integers little-endian u32 unless noted):
+
+    request:  magic b"FDN1" | op u8 | n | dim | f32 frames[n*dim]
+              op 1 = score
+              op 2 = score_masked: followed by u8 masks[n * out_dim]
+              op 3 = stats (no body)
+    response: status u8 (0 ok, 1 error) |
+              ok:    n | out | f32 posteriors[n*out]
+              error: len | utf-8 message
+              stats: len | utf-8 json
+
+One request per connection round; connections persist for many rounds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socket
+import socketserver
+import struct
+import sys
+import threading
+
+import numpy as np
+
+MAGIC = b"FDN1"
+OP_SCORE, OP_SCORE_MASKED, OP_STATS = 1, 2, 3
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("client closed mid-message")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _send_ok(sock: socket.socket, arr: np.ndarray) -> None:
+    n, out = arr.shape
+    sock.sendall(struct.pack("<BII", 0, n, out))
+    sock.sendall(np.ascontiguousarray(arr, dtype=np.float32).tobytes())
+
+
+def _send_err(sock: socket.socket, msg: str) -> None:
+    raw = msg.encode()
+    sock.sendall(struct.pack("<BI", 1, len(raw)) + raw)
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self) -> None:
+        server: "ScoreServer" = self.server  # type: ignore[assignment]
+        sock = self.request
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        while True:
+            try:
+                head = _recv_exact(sock, 5)
+            except ConnectionError:
+                return
+            if head[:4] != MAGIC:
+                _send_err(sock, "bad magic")
+                return
+            op = head[4]
+            try:
+                if op == OP_STATS:
+                    tp = server.stream.throughput
+                    payload = json.dumps(
+                        {
+                            "frames": tp.frames,
+                            "frames_per_s": round(tp.frames_per_s(), 1),
+                            "audio_seconds_per_s": round(tp.audio_seconds_per_s(), 2),
+                        }
+                    ).encode()
+                    sock.sendall(struct.pack("<BI", 0, len(payload)) + payload)
+                    continue
+                n, dim = struct.unpack("<II", _recv_exact(sock, 8))
+                if n == 0 or n * dim > 1 << 28:
+                    _send_err(sock, f"bad frame count/dim {n}x{dim}")
+                    continue
+                frames = np.frombuffer(
+                    _recv_exact(sock, 4 * n * dim), dtype="<f4"
+                ).reshape(n, dim)
+                masks = None
+                if op == OP_SCORE_MASKED:
+                    out_dim = server.stream._scorer.output_dim
+                    masks = np.frombuffer(
+                        _recv_exact(sock, n * out_dim), dtype=np.uint8
+                    ).reshape(n, out_dim)
+                elif op != OP_SCORE:
+                    _send_err(sock, f"unknown op {op}")
+                    continue
+                fut = server.stream.submit(frames, masks)
+                _send_ok(sock, fut.result())
+            except (ConnectionError, BrokenPipeError):
+                return
+            except Exception as e:  # surface engine errors to the client
+                try:
+                    _send_err(sock, f"{type(e).__name__}: {e}")
+                except OSError:
+                    return
+
+
+class ScoreServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, stream):
+        self.stream = stream
+        super().__init__(addr, _Handler)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fastdnn-serve", description=__doc__.split("\n")[0])
+    p.add_argument("model", help="binary model file (reference format)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8477)
+    p.add_argument("--cutoff", type=float, default=3.0)
+    p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--max-batch-frames", type=int, default=8192)
+    p.add_argument("--max-wait-ms", type=float, default=3.0)
+    return p
+
+
+def make_server(args) -> ScoreServer:
+    from ..config import EngineConfig
+    from ..engine.scorer import Scorer
+    from ..engine.stream import StreamingScorer
+    from ..formats.binary import read_model
+    from ..models.feedforward import from_raw
+    from ..quant.quantize import quantize_net
+
+    raw = read_model(args.model)
+    qnet = quantize_net(from_raw(raw), cutoff=args.cutoff)
+    scorer = Scorer(qnet, EngineConfig(backend=args.backend))
+    stream = StreamingScorer(
+        scorer,
+        max_batch_frames=args.max_batch_frames,
+        max_wait_ms=args.max_wait_ms,
+    )
+    print(f"Network = {raw.topology()}", flush=True)
+    return ScoreServer((args.host, args.port), stream)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    server = make_server(args)
+    host, port = server.server_address[:2]
+    print(f"serving on {host}:{port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        server.stream.close()
+    return 0
+
+
+# -- minimal client (also used by tests) -------------------------------------
+
+
+class ScoreClient:
+    """Blocking client for the serve protocol."""
+
+    def __init__(self, host: str, port: int):
+        self._sock = socket.create_connection((host, port))
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._lock = threading.Lock()
+
+    def score(self, frames: np.ndarray, masks: np.ndarray | None = None) -> np.ndarray:
+        frames = np.ascontiguousarray(frames, dtype=np.float32)
+        n, dim = frames.shape
+        op = OP_SCORE_MASKED if masks is not None else OP_SCORE
+        with self._lock:
+            self._sock.sendall(MAGIC + struct.pack("<BII", op, n, dim))
+            self._sock.sendall(frames.tobytes())
+            if masks is not None:
+                self._sock.sendall(
+                    np.ascontiguousarray(masks, dtype=np.uint8).tobytes()
+                )
+            return self._read_response()
+
+    def stats(self) -> dict:
+        with self._lock:
+            self._sock.sendall(MAGIC + struct.pack("<B", OP_STATS))
+            status, ln = struct.unpack("<BI", _recv_exact(self._sock, 5))
+            payload = _recv_exact(self._sock, ln)
+        if status != 0:
+            raise RuntimeError(payload.decode())
+        return json.loads(payload)
+
+    def _read_response(self) -> np.ndarray:
+        status = _recv_exact(self._sock, 1)[0]
+        if status != 0:
+            (ln,) = struct.unpack("<I", _recv_exact(self._sock, 4))
+            raise RuntimeError(_recv_exact(self._sock, ln).decode())
+        n, out = struct.unpack("<II", _recv_exact(self._sock, 8))
+        data = _recv_exact(self._sock, 4 * n * out)
+        return np.frombuffer(data, dtype="<f4").reshape(n, out).copy()
+
+    def close(self) -> None:
+        self._sock.close()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,179 @@
+"""Streaming engine + scoring server tests (CPU backend).
+
+The reference's serving model is thread-per-caller over JNI
+(/root/reference/test/java/suskun/nn/MultiThreadedStressTest.java); the TPU
+replacement batches across callers.  These tests verify: per-utterance
+results identical to direct Scorer calls, cross-thread batching, masked
+submissions, error propagation, and the TCP protocol end to end.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from fastdnn_tpu.config import EngineConfig
+from fastdnn_tpu.engine.scorer import Scorer
+from fastdnn_tpu.engine.stream import StreamingScorer
+from fastdnn_tpu.quant.quantize import quantize_net
+
+
+@pytest.fixture(scope="module")
+def scorer(small_net):
+    return Scorer(quantize_net(small_net), EngineConfig(backend="xla"))
+
+
+@pytest.fixture()
+def stream(scorer):
+    with StreamingScorer(scorer, max_batch_frames=256, max_wait_ms=10.0) as ss:
+        yield ss
+
+
+def rand_utts(rng, count, dim, lo=3, hi=40):
+    return [
+        rng.standard_normal((int(rng.integers(lo, hi)), dim)).astype(np.float32)
+        for _ in range(count)
+    ]
+
+
+class TestStreamingScorer:
+    def test_matches_direct_scoring(self, stream, scorer, rng):
+        utts = rand_utts(rng, 12, scorer.input_dim)
+        futs = [stream.submit(u) for u in utts]
+        for u, f in zip(utts, futs):
+            np.testing.assert_allclose(f.result(timeout=60), scorer.score(u), atol=1e-6)
+
+    def test_many_threads(self, stream, scorer, rng):
+        utts = rand_utts(rng, 32, scorer.input_dim)
+        results = [None] * len(utts)
+        errors = []
+
+        def worker(lo, hi):
+            try:
+                futs = [(i, stream.submit(utts[i])) for i in range(lo, hi)]
+                for i, f in futs:
+                    results[i] = f.result(timeout=60)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=worker, args=(i * 8, (i + 1) * 8)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        for u, r in zip(utts, results):
+            np.testing.assert_allclose(r, scorer.score(u), atol=1e-6)
+        assert stream.throughput.frames == sum(u.shape[0] for u in utts)
+
+    def test_masked_submissions(self, stream, scorer, rng):
+        u = rng.standard_normal((7, scorer.input_dim)).astype(np.float32)
+        masks = (rng.random((7, scorer.output_dim)) < 0.4).astype(np.uint8)
+        got = stream.submit(u, masks).result(timeout=60)
+        np.testing.assert_allclose(got, scorer.score_masked(u, masks), atol=1e-6)
+
+    def test_mixed_masked_and_plain(self, stream, scorer, rng):
+        u1 = rng.standard_normal((5, scorer.input_dim)).astype(np.float32)
+        u2 = rng.standard_normal((6, scorer.input_dim)).astype(np.float32)
+        masks = (rng.random((6, scorer.output_dim)) < 0.5).astype(np.uint8)
+        f1 = stream.submit(u1)
+        f2 = stream.submit(u2, masks)
+        np.testing.assert_allclose(f1.result(60), scorer.score(u1), atol=1e-6)
+        np.testing.assert_allclose(f2.result(60), scorer.score_masked(u2, masks), atol=1e-6)
+
+    def test_oversized_utterance_rejected(self, stream, scorer):
+        with pytest.raises(ValueError, match="exceeds"):
+            stream.submit(np.zeros((257, scorer.input_dim), np.float32))
+
+    def test_bad_mask_shape_rejected(self, stream, scorer):
+        with pytest.raises(ValueError, match="masks"):
+            stream.submit(
+                np.zeros((4, scorer.input_dim), np.float32),
+                np.zeros((4, 3), np.uint8),
+            )
+
+    def test_closed_rejects(self, scorer):
+        ss = StreamingScorer(scorer)
+        ss.close()
+        with pytest.raises(RuntimeError):
+            ss.submit(np.zeros((2, scorer.input_dim), np.float32))
+
+
+class TestScoreServer:
+    @pytest.fixture(scope="class")
+    def server(self, small_net, tmp_path_factory):
+        import jax
+
+        from fastdnn_tpu.cli.serve import ScoreServer, make_server
+        from fastdnn_tpu.formats.binary import write_model
+        from fastdnn_tpu.models.feedforward import to_raw
+
+        path = tmp_path_factory.mktemp("srv") / "model.bin"
+        write_model(to_raw(small_net), path)
+
+        class A:
+            model = str(path)
+            host, port = "127.0.0.1", 0  # ephemeral
+            cutoff, backend = 3.0, "xla"
+            max_batch_frames, max_wait_ms = 256, 5.0
+
+        srv = make_server(A)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv
+        srv.shutdown()
+        srv.stream.close()
+
+    def test_roundtrip_and_stats(self, server, scorer, rng):
+        from fastdnn_tpu.cli.serve import ScoreClient
+
+        host, port = server.server_address[:2]
+        c = ScoreClient(host, port)
+        u = rng.standard_normal((9, scorer.input_dim)).astype(np.float32)
+        got = c.score(u)
+        np.testing.assert_allclose(got, scorer.score(u), atol=1e-6)
+        masks = (rng.random((9, scorer.output_dim)) < 0.4).astype(np.uint8)
+        got_m = c.score(u, masks)
+        np.testing.assert_allclose(got_m, scorer.score_masked(u, masks), atol=1e-6)
+        stats = c.stats()
+        assert stats["frames"] >= 18
+        c.close()
+
+    def test_concurrent_clients(self, server, scorer, rng):
+        from fastdnn_tpu.cli.serve import ScoreClient
+
+        host, port = server.server_address[:2]
+        utts = rand_utts(rng, 16, scorer.input_dim)
+        results = [None] * len(utts)
+
+        def worker(ids):
+            c = ScoreClient(host, port)
+            for i in ids:
+                results[i] = c.score(utts[i])
+            c.close()
+
+        threads = [
+            threading.Thread(target=worker, args=(range(i * 4, (i + 1) * 4),))
+            for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for u, r in zip(utts, results):
+            np.testing.assert_allclose(r, scorer.score(u), atol=1e-6)
+
+    def test_bad_magic(self, server):
+        import socket
+        import struct
+
+        host, port = server.server_address[:2]
+        s = socket.create_connection((host, port))
+        s.sendall(b"XXXX\x01")
+        status = s.recv(1)[0]
+        assert status == 1
+        (ln,) = struct.unpack("<I", s.recv(4))
+        assert b"magic" in s.recv(ln)
+        s.close()
