@@ -129,6 +129,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--max-batch-frames", type=int, default=8192)
     p.add_argument("--max-wait-ms", type=float, default=3.0)
+    p.add_argument(
+        "--warmup",
+        action="store_true",
+        help="pre-compile the common frame buckets before accepting clients "
+        "(first jit of a shape costs seconds; do it at startup, not on the "
+        "first request)",
+    )
     return p
 
 
@@ -149,6 +156,12 @@ def make_server(args) -> ScoreServer:
         max_wait_ms=args.max_wait_ms,
     )
     print(f"Network = {raw.topology()}", flush=True)
+    if getattr(args, "warmup", False):
+        bucket = scorer.config.frame_bucket
+        for n in (bucket, 4 * bucket, args.max_batch_frames):
+            n = min(n, args.max_batch_frames)
+            scorer.score(np.zeros((n, scorer.input_dim), np.float32))
+            print(f"warmed {n}-frame bucket", flush=True)
     return ScoreServer((args.host, args.port), stream)
 
 
