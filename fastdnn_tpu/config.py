@@ -79,6 +79,12 @@ class EngineConfig:
     #: per-logit bf16 rounding bounds the posterior error at ~0.2% x |logit|
     #: (relative) — fine for ASR decoding, off by default for bit-parity.
     fast_posteriors: bool = False
+    #: frame-count threshold at or below which ALL hidden layers run as one
+    #: Pallas kernel (fused_hidden_stack): at small batch the weight stack
+    #: streams once and n-1 dispatches vanish (31% faster hidden time at 128
+    #: frames on v5e); at batch the per-layer kernels win by keeping each
+    #: weight matrix VMEM-resident across frame blocks.  0 disables.
+    stack_hidden_max_frames: int = 512
 
     # Lazy / masked output -------------------------------------------------
     #: "reference" reproduces the reference softmax-over-zeros semantics for

@@ -81,3 +81,18 @@ def output_posteriors(
         interpret=interpret,
         fast=fast,
     )
+
+
+def hidden_stack_step(
+    acts_i8: jax.Array,
+    hstack,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """All hidden layers in one kernel (small-batch latency path).
+
+    hstack = (w_stack, colsum_stack, inv_scales, bias_stack) as built by
+    engine.scorer.build_hidden_stack.
+    """
+    w, cs, inv, bias = hstack
+    return pk.fused_hidden_stack(acts_i8, w, cs, inv, bias, interpret=interpret)

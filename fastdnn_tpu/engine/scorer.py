@@ -48,22 +48,48 @@ def _default_platform() -> str:
     return jax.devices()[0].platform
 
 
+def build_hidden_stack(net: QuantizedNet):
+    """Stack the equal-width hidden layers for the one-kernel latency path
+    (ops.pallas_kernels.fused_hidden_stack).  Returns None when the topology
+    has < 2 hidden layers or unequal/non-square widths."""
+    hw = net.weights[:-1]
+    if len(hw) < 2:
+        return None
+    shape = hw[0].shape
+    if shape[0] != shape[1] or any(w.shape != shape for w in hw):
+        return None
+    return (
+        jnp.stack(hw),
+        jnp.stack(net.colsum128[:-1]),
+        jnp.stack([jnp.asarray(s, jnp.float32) for s in net.inv_scales[:-1]]),
+        jnp.stack(net.biases[:-1]),
+    )
+
+
 def hidden_forward(
     net: QuantizedNet,
     frames: jax.Array,
     backend: str,
     interpret: bool,
     input_precision: str = "high",
+    hstack=None,
+    stack_max_frames: int = 0,
 ):
     """Input layer + all hidden layers -> shifted-int8 activations [B, H].
 
     Equivalent of CalculateUntilLastHiddenLayer (/root/reference/src/cpp/
     dnn.cc:402-424), minus the in-place shift/scale (fused at quantize time).
+
+    When `hstack` (see build_hidden_stack) is given and the frame count is
+    within stack_max_frames, all hidden layers run as ONE Pallas kernel —
+    the small-batch latency path.
     """
     acts = xops.input_layer_step(frames, net.input_w, net.input_b, input_precision)
     if backend == "pallas":
         from . import pallas_backend  # local import: TPU-only dependency path
 
+        if hstack is not None and frames.shape[0] <= stack_max_frames:
+            return pallas_backend.hidden_stack_step(acts, hstack, interpret=interpret)
         for i in range(len(net.weights) - 1):
             acts = pallas_backend.hidden_layer_step(
                 acts,
@@ -108,13 +134,17 @@ def score_fn(
     fused_softmax: bool = False,
     input_precision: str = "high",
     fast_posteriors: bool = False,
+    hstack=None,
+    stack_max_frames: int = 0,
 ):
     """Full forward pass -> posteriors f32 [B, out].  Jittable.
 
     `out_dim` slices away MXU padding columns (pad_qnet_for_tpu) before the
     softmax — padded logits are exactly 0.0 and must not join the denominator.
     """
-    acts = hidden_forward(net, frames, backend, interpret, input_precision)
+    acts = hidden_forward(
+        net, frames, backend, interpret, input_precision, hstack, stack_max_frames
+    )
     if backend == "pallas" and fused_softmax and frames.shape[0] <= MAX_FUSED_SOFTMAX_FRAMES:
         from . import pallas_backend
 
@@ -147,13 +177,17 @@ def score_masked_fn(
     fused_softmax: bool = False,
     input_precision: str = "high",
     fast_posteriors: bool = False,
+    hstack=None,
+    stack_max_frames: int = 0,
 ):
     """Lazy/masked forward pass -> posteriors f32 [B, out].  Jittable.
 
     masks: [B, out], nonzero = senone active for that frame (the reference's
     byte mask, /root/reference/src/java/suskun/nn/QuantizedDnn.java:88-93).
     """
-    acts = hidden_forward(net, frames, backend, interpret, input_precision)
+    acts = hidden_forward(
+        net, frames, backend, interpret, input_precision, hstack, stack_max_frames
+    )
     if backend == "pallas" and fused_softmax and frames.shape[0] <= MAX_FUSED_SOFTMAX_FRAMES:
         from . import pallas_backend
 
@@ -201,6 +235,9 @@ class Scorer:
 
             net = pad_qnet_for_tpu(net)
         self.net = net
+        hstack = None
+        if self._backend == "pallas" and self.config.stack_hidden_max_frames > 0:
+            hstack = build_hidden_stack(net)
         kw = dict(
             backend=self._backend,
             interpret=self.config.interpret,
@@ -208,6 +245,8 @@ class Scorer:
             fused_softmax=self.config.fused_softmax,
             input_precision=self.config.input_precision,
             fast_posteriors=self.config.fast_posteriors,
+            hstack=hstack,
+            stack_max_frames=self.config.stack_hidden_max_frames,
         )
         self._score = jax.jit(functools.partial(score_fn, **kw))
         self._score_masked = jax.jit(
@@ -219,6 +258,8 @@ class Scorer:
                 backend=self._backend,
                 interpret=self.config.interpret,
                 input_precision=self.config.input_precision,
+                hstack=hstack,
+                stack_max_frames=self.config.stack_hidden_max_frames,
             )
         )
         self._masked_from_acts = jax.jit(
@@ -253,6 +294,8 @@ class Scorer:
         fused_softmax=False,
         input_precision="high",  # unused: acts are already computed
         fast_posteriors=False,  # plain-logits path stays f32
+        hstack=None,  # unused: acts are already computed
+        stack_max_frames=0,
     ):
         logits = output_logits(net, acts, backend, interpret)
         if out_dim != logits.shape[-1]:

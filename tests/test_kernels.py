@@ -58,6 +58,40 @@ def test_unpadded_shapes_rejected(rng):
         pk.fused_hidden_layer(x, w, cs, jnp.float32(1.0), bias, interpret=True)
 
 
+def test_fused_hidden_stack_matches_sequential(rng):
+    """All-layers-in-one kernel (small-batch latency path) must be bit-exact
+    with the per-layer kernels / XLA steps."""
+    L, b, h = 4, 384, 256
+    x = jnp.asarray(rng.integers(-128, 128, (b, h)).astype(np.int8))
+    ws = rng.integers(-128, 128, (L, h, h)).astype(np.int8)
+    cs = (128 * ws.astype(np.int64).sum(axis=1)).astype(np.int32)
+    inv = (1.0 / (np.arange(1, L + 1) * 255)).astype(np.float32)
+    bias = rng.standard_normal((L, h)).astype(np.float32)
+    ours = pk.fused_hidden_stack(
+        x, jnp.asarray(ws), jnp.asarray(cs), jnp.asarray(inv), jnp.asarray(bias),
+        interpret=True,
+    )
+    ref = x
+    for l in range(L):
+        ref = xops.hidden_layer_step(
+            ref, jnp.asarray(ws[l]), jnp.asarray(cs[l]), jnp.float32(inv[l]),
+            jnp.asarray(bias[l]),
+        )
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_fused_hidden_stack_rejects_nonsquare(rng):
+    with pytest.raises(ValueError, match="square"):
+        pk.fused_hidden_stack(
+            jnp.zeros((128, 256), jnp.int8),
+            jnp.zeros((2, 256, 384), jnp.int8),
+            jnp.zeros((2, 384), jnp.int32),
+            jnp.zeros(2, jnp.float32),
+            jnp.zeros((2, 384), jnp.float32),
+            interpret=True,
+        )
+
+
 class TestFusedPosteriors:
     """output_layer_posteriors = matmul + stats + fused normalize."""
 
