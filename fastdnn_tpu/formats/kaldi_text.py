@@ -122,6 +122,13 @@ def parse_features_text(text: str) -> Dict[str, np.ndarray]:
 
 
 def load_features_text(path) -> Dict[str, np.ndarray]:
+    from . import native
+
+    if native.available():
+        try:
+            return native.read_features_text(path)
+        except ValueError:
+            pass  # fall through to the tolerant Python parser
     with open(path) as f:
         return parse_features_text(f.read())
 

@@ -65,6 +65,18 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,
     ]
     lib.fd_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.fd_read_features_text.restype = ctypes.c_void_p
+    lib.fd_read_features_text.argtypes = [ctypes.c_char_p]
+    lib.fd_ftext_count.restype = ctypes.c_int32
+    lib.fd_ftext_count.argtypes = [ctypes.c_void_p]
+    lib.fd_ftext_id.restype = ctypes.c_char_p
+    lib.fd_ftext_id.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    for fn in ("fd_ftext_frames", "fd_ftext_dim"):
+        getattr(lib, fn).restype = ctypes.c_int32
+        getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.fd_ftext_data.restype = ctypes.POINTER(ctypes.c_float)
+    lib.fd_ftext_data.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.fd_ftext_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -114,6 +126,27 @@ def read_features(path) -> np.ndarray:
         return np.ctypeslib.as_array(data, shape=(frames.value, dim.value)).copy()
     finally:
         lib.fd_buffer_free(data)
+
+
+def read_features_text(path):
+    """Kaldi text feature file -> {utterance_id: [frames, dim] f32}
+    (BatchData.loadMultipleFromText analog, ~10x the Python regex parser)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not available")
+    handle = lib.fd_read_features_text(os.fspath(path).encode())
+    if not handle:
+        raise ValueError(f"failed to parse text feature file {path}")
+    try:
+        out = {}
+        for i in range(lib.fd_ftext_count(handle)):
+            n = lib.fd_ftext_frames(handle, i)
+            d = lib.fd_ftext_dim(handle, i)
+            mat = np.ctypeslib.as_array(lib.fd_ftext_data(handle, i), shape=(n, d)).copy()
+            out[lib.fd_ftext_id(handle, i).decode()] = mat
+        return out
+    finally:
+        lib.fd_ftext_free(handle)
 
 
 def write_features(data: np.ndarray, path) -> None:

@@ -14,10 +14,12 @@
 //
 // Build: make -C native   (produces fastdnn_tpu/_native/libfastdnn_io.so)
 
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <vector>
 
 namespace {
@@ -214,6 +216,122 @@ int32_t fd_write_features(const char* path, const float* data, int32_t frames,
   std::fclose(f);
   return wrote == swapped.size() ? 0 : 2;
 }
+
+
+// ---------------------------------------------------------------------------
+// Kaldi text feature parsing (BatchData.loadMultipleFromText analog,
+// suskun/nn/BatchData.java:145-183): utterances of the form
+//     utt-id  [
+//       f f f ...
+//       f f f ]
+// Tokenized with strtof — ~an order of magnitude faster than the Python
+// regex path on multi-MB feature files.
+// ---------------------------------------------------------------------------
+
+struct Utt {
+  std::string id;
+  int32_t frames = 0;
+  int32_t dim = 0;
+  float* data = nullptr;  // malloc'd [frames * dim]
+  ~Utt() { std::free(data); }
+};
+
+struct FText {
+  std::vector<Utt*> utts;
+  ~FText() {
+    for (Utt* u : utts) delete u;
+  }
+};
+
+void* fd_read_features_text(const char* path) {
+  int64_t size = 0;
+  char* buf = slurp(path, &size);
+  if (!buf) return nullptr;
+  FText* out = new FText();
+  const char* p = buf;
+  const char* end = buf + size;
+  while (p < end) {
+    // skip whitespace
+    while (p < end && std::isspace(static_cast<unsigned char>(*p))) ++p;
+    if (p >= end) break;
+    // utterance id: token up to whitespace
+    const char* id0 = p;
+    while (p < end && !std::isspace(static_cast<unsigned char>(*p)) && *p != '[') ++p;
+    std::string id(id0, p - id0);
+    while (p < end && *p != '[') ++p;  // find opening bracket
+    if (p >= end) break;
+    ++p;  // past '['
+    // parse rows: floats separated by spaces, newline ends a row, ']' ends
+    std::vector<float> vals;
+    int32_t dim = 0, frames = 0;
+    int32_t row_len = 0;
+    bool bad = false;
+    while (p < end) {
+      while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+      if (p < end && *p == '\n') {
+        if (row_len > 0) {
+          if (dim == 0) dim = row_len;
+          else if (row_len != dim) { bad = true; break; }
+          ++frames;
+          row_len = 0;
+        }
+        ++p;
+        continue;
+      }
+      if (p >= end || *p == ']') {
+        if (row_len > 0) {
+          if (dim == 0) dim = row_len;
+          else if (row_len != dim) { bad = true; break; }
+          ++frames;
+        }
+        if (p < end) ++p;  // past ']'
+        break;
+      }
+      char* next = nullptr;
+      float v = std::strtof(p, &next);
+      if (next == p) { bad = true; break; }
+      vals.push_back(v);
+      ++row_len;
+      p = next;
+    }
+    if (bad || dim == 0 || frames == 0 ||
+        vals.size() != size_t(frames) * size_t(dim)) {
+      delete out;
+      std::free(buf);
+      return nullptr;
+    }
+    Utt* u = new Utt();
+    u->id = std::move(id);
+    u->frames = frames;
+    u->dim = dim;
+    u->data = static_cast<float*>(std::malloc(vals.size() * 4));
+    std::memcpy(u->data, vals.data(), vals.size() * 4);
+    out->utts.push_back(u);
+  }
+  std::free(buf);
+  if (out->utts.empty()) {
+    delete out;
+    return nullptr;
+  }
+  return out;
+}
+
+int32_t fd_ftext_count(void* h) {
+  return static_cast<int32_t>(static_cast<FText*>(h)->utts.size());
+}
+const char* fd_ftext_id(void* h, int32_t i) {
+  return static_cast<FText*>(h)->utts[i]->id.c_str();
+}
+int32_t fd_ftext_frames(void* h, int32_t i) {
+  return static_cast<FText*>(h)->utts[i]->frames;
+}
+int32_t fd_ftext_dim(void* h, int32_t i) {
+  return static_cast<FText*>(h)->utts[i]->dim;
+}
+const float* fd_ftext_data(void* h, int32_t i) {
+  return static_cast<FText*>(h)->utts[i]->data;
+}
+void fd_ftext_free(void* h) { delete static_cast<FText*>(h); }
 
 void fd_buffer_free(float* p) { std::free(p); }
 

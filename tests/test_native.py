@@ -91,3 +91,43 @@ class TestNativeIO:
 
         a = read_features(os.path.join(DATA, "16khz.bin"))
         assert a.shape == (100, 432)
+
+
+class TestNativeTextFeatures:
+    """fd_read_features_text: Kaldi text features parsed natively
+    (BatchData.loadMultipleFromText analog, BatchData.java:145-183)."""
+
+    def test_matches_python_parser_on_bundled_data(self, native):
+        from fastdnn_tpu.formats import kaldi_text
+
+        for name in ("16khz", "8khz"):
+            path = os.path.join(DATA, name)
+            got = native.read_features_text(path)
+            with open(path) as f:
+                ref = kaldi_text.parse_features_text(f.read())
+            assert list(got) == list(ref)
+            for k in got:
+                np.testing.assert_array_equal(got[k], ref[k].astype(np.float32))
+
+    def test_multiple_utterances(self, native, tmp_path):
+        p = tmp_path / "feats.txt"
+        p.write_text(
+            "utt-a  [\n  1.0 2.0 3.0\n  4 5 6 ]\n"
+            "utt-b [\n  7.5 -8 9e-1\n  1 2 3\n  4 5 6 ]\n"
+        )
+        got = native.read_features_text(p)
+        assert list(got) == ["utt-a", "utt-b"]
+        np.testing.assert_allclose(got["utt-a"], [[1, 2, 3], [4, 5, 6]])
+        np.testing.assert_allclose(got["utt-b"], [[7.5, -8, 0.9], [1, 2, 3], [4, 5, 6]])
+
+    def test_ragged_rows_rejected(self, native, tmp_path):
+        p = tmp_path / "bad.txt"
+        p.write_text("u [\n 1 2 3\n 4 5 ]\n")
+        with pytest.raises(ValueError):
+            native.read_features_text(p)
+
+    def test_dispatch_through_kaldi_text_module(self, native):
+        from fastdnn_tpu.formats.kaldi_text import load_features_text
+
+        feats = load_features_text(os.path.join(DATA, "16khz"))
+        assert next(iter(feats.values())).shape == (193, 429)
