@@ -170,24 +170,34 @@ def write_model(net: RawNetwork, f: PathOrFile) -> None:
             fh.write(data)
 
 
-def read_features(f: PathOrFile) -> np.ndarray:
+def read_features(f: PathOrFile, *, little_endian: bool = False) -> np.ndarray:
     """Read a binary feature matrix -> float32 [frames, dim].
 
-    Trusts the header frame count (see module docstring).
+    Trusts the header frame count (see module docstring).  `little_endian`
+    mirrors BatchData.loadRawBinary's endianness flag
+    (/root/reference/src/java/suskun/nn/BatchData.java:80-91).
     """
-    if not hasattr(f, "read"):
+    if not hasattr(f, "read") and not little_endian:
         nat = _native_io()
         if nat is not None:
             return nat.read_features(f)
-    r = _Reader(_slurp(f))
-    frames = r.read_i32()
-    dim = r.read_i32()
+    buf = _slurp(f)
+    i4, f4 = ("<i4", "<f4") if little_endian else (_BE_I4, _BE_F4)
+    hdr = np.frombuffer(buf[:8], i4)
+    frames, dim = int(hdr[0]), int(hdr[1])
     if frames < 0 or dim <= 0:
         raise ValueError(f"bad feature header: {frames}x{dim}")
-    return r.read_f32_array(frames * dim).reshape(frames, dim)
+    need = 8 + 4 * frames * dim
+    if len(buf) < need:
+        raise ValueError(f"feature file truncated: need {need} bytes, have {len(buf)}")
+    return (
+        np.frombuffer(buf[8:need], f4).astype(np.float32).reshape(frames, dim)
+    )
 
 
-def write_features(data: np.ndarray, f: PathOrFile, max_frames: int = -1) -> None:
+def write_features(
+    data: np.ndarray, f: PathOrFile, max_frames: int = -1, *, little_endian: bool = False
+) -> None:
     """Write a float32 [frames, dim] matrix in the reference binary format.
 
     `max_frames` caps the written frame count like serializeDataMatrix's
@@ -195,16 +205,18 @@ def write_features(data: np.ndarray, f: PathOrFile, max_frames: int = -1) -> Non
     BatchData.java:101-139); unlike the reference writer, the header and the
     written frames agree exactly (the reference has an off-by-one that
     writes one extra frame past the header; readers trust the header so
-    interop is unaffected).
+    interop is unaffected).  `little_endian` mirrors serializeDataMatrix's
+    endianness flag.
     """
     data = np.ascontiguousarray(data, dtype=np.float32)
     if data.ndim != 2:
         raise ValueError("features must be 2-D [frames, dim]")
     frames = data.shape[0] if max_frames < 0 else min(max_frames, data.shape[0])
+    i4, f4 = ("<i4", "<f4") if little_endian else (_BE_I4, _BE_F4)
     out = io.BytesIO()
-    out.write(np.array([frames], _BE_I4).tobytes())
-    out.write(np.array([data.shape[1]], _BE_I4).tobytes())
-    out.write(data[:frames].astype(_BE_F4).tobytes())
+    out.write(np.array([frames], i4).tobytes())
+    out.write(np.array([data.shape[1]], i4).tobytes())
+    out.write(data[:frames].astype(f4).tobytes())
     payload = out.getvalue()
     if hasattr(f, "write"):
         f.write(payload)

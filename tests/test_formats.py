@@ -162,3 +162,22 @@ class TestBinaryModel:
         out = binary.read_model(binf)
         np.testing.assert_array_equal(out.layers[0].weights, raw.layers[0].weights)
         np.testing.assert_array_equal(out.shift, raw.shift)
+
+
+def test_feature_endianness_flag(tmp_path):
+    """Both endiannesses round-trip, mirroring BatchData.loadRawBinary /
+    serializeDataMatrix's bigEndian flag (BatchData.java:80-91,101-139)."""
+    import io as _io
+
+    import numpy as np
+
+    from fastdnn_tpu.formats.binary import read_features, write_features
+
+    d = np.arange(24, dtype=np.float32).reshape(6, 4) * 0.5
+    for le in (False, True):
+        p = tmp_path / f"f_{le}.bin"
+        write_features(d, p, little_endian=le)
+        np.testing.assert_array_equal(read_features(p, little_endian=le), d)
+    # big-endian header bytes: frames=6 as 00 00 00 06
+    assert (tmp_path / "f_False.bin").read_bytes()[:4] == b"\x00\x00\x00\x06"
+    assert (tmp_path / "f_True.bin").read_bytes()[:4] == b"\x06\x00\x00\x00"
