@@ -15,10 +15,14 @@ Quick start::
     scorer = fd.Scorer(qnet)
     posteriors = scorer.score(frames)           # [n, senones]
     lazy = scorer.score_masked(frames, masks)   # masked senone scoring
+
+    ss = fd.StreamingScorer(scorer)             # cross-utterance batching
+    fut = ss.submit(frames)                     # from any thread
 """
 
 from .config import EngineConfig
 from .engine.scorer import LazyContext, Scorer, score_fn, score_masked_fn
+from .engine.stream import StreamingScorer
 from .formats import binary as formats_binary
 from .formats import kaldi_text
 from .formats.binary import RawNetwork, read_features, read_model, write_features, write_model

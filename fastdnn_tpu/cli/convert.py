@@ -90,5 +90,17 @@ def main(argv=None) -> int:
     return 0
 
 
+
+
+def _cli(argv=None) -> int:
+    """Entry point with one-line error reporting (no tracebacks for
+    expected failures like bad paths, dims, or parameters)."""
+    try:
+        return main(argv)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_cli())

@@ -89,6 +89,8 @@ def read_model(path) -> RawNetwork:
     lib = _load()
     if lib is None:
         raise RuntimeError("native IO library not available")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"model file not found: {path}")
     handle = lib.fd_read_model(os.fspath(path).encode())
     if not handle:
         raise ValueError(f"failed to parse model file {path}")
@@ -117,6 +119,8 @@ def read_features(path) -> np.ndarray:
     data = ctypes.POINTER(ctypes.c_float)()
     frames = ctypes.c_int32()
     dim = ctypes.c_int32()
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"feature file not found: {path}")
     rc = lib.fd_read_features(
         os.fspath(path).encode(), ctypes.byref(data), ctypes.byref(frames), ctypes.byref(dim)
     )
@@ -134,6 +138,8 @@ def read_features_text(path):
     lib = _load()
     if lib is None:
         raise RuntimeError("native IO library not available")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"text feature file not found: {path}")
     handle = lib.fd_read_features_text(os.fspath(path).encode())
     if not handle:
         raise ValueError(f"failed to parse text feature file {path}")
