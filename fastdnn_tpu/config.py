@@ -59,8 +59,10 @@ class EngineConfig:
     frame_bucket: int = 128
     #: Pallas block size over the frame axis (tuned on v5e)
     block_frames: int = 512
-    #: Pallas node-axis block for hidden layers (weight block resident in VMEM)
-    block_nodes_hidden: int = 2048
+    #: Pallas node-axis block for hidden layers.  1024 (a 2 MB half-width
+    #: weight block) measures ~1.5x faster than the full 2048 width on v5e —
+    #: better VMEM double-buffering at the same reuse.
+    block_nodes_hidden: int = 1024
     #: Pallas frame block for the output layer
     block_frames_out: int = 256
     #: Pallas node-axis block for the output layer (f32 logits block is 4x fatter)

@@ -18,7 +18,7 @@ def hidden_layer_step(
     *,
     interpret: bool = False,
     block_frames: int = 512,
-    block_nodes: int = 2048,
+    block_nodes: int = 1024,
 ) -> jax.Array:
     return pk.fused_hidden_layer(
         acts_i8,

@@ -74,6 +74,7 @@ def hidden_forward(
     input_precision: str = "high",
     hstack=None,
     stack_max_frames: int = 0,
+    hidden_blocks=None,
 ):
     """Input layer + all hidden layers -> shifted-int8 activations [B, H].
 
@@ -90,6 +91,9 @@ def hidden_forward(
 
         if hstack is not None and frames.shape[0] <= stack_max_frames:
             return pallas_backend.hidden_stack_step(acts, hstack, interpret=interpret)
+        bkw = {}
+        if hidden_blocks is not None:
+            bkw = dict(block_frames=hidden_blocks[0], block_nodes=hidden_blocks[1])
         for i in range(len(net.weights) - 1):
             acts = pallas_backend.hidden_layer_step(
                 acts,
@@ -98,6 +102,7 @@ def hidden_forward(
                 net.inv_scales[i],
                 net.biases[i],
                 interpret=interpret,
+                **bkw,
             )
     else:
         for i in range(len(net.weights) - 1):
@@ -136,6 +141,7 @@ def score_fn(
     fast_posteriors: bool = False,
     hstack=None,
     stack_max_frames: int = 0,
+    hidden_blocks=None,
 ):
     """Full forward pass -> posteriors f32 [B, out].  Jittable.
 
@@ -143,7 +149,8 @@ def score_fn(
     softmax — padded logits are exactly 0.0 and must not join the denominator.
     """
     acts = hidden_forward(
-        net, frames, backend, interpret, input_precision, hstack, stack_max_frames
+        net, frames, backend, interpret, input_precision, hstack, stack_max_frames,
+        hidden_blocks,
     )
     if backend == "pallas" and fused_softmax and frames.shape[0] <= MAX_FUSED_SOFTMAX_FRAMES:
         from . import pallas_backend
@@ -179,6 +186,7 @@ def score_masked_fn(
     fast_posteriors: bool = False,
     hstack=None,
     stack_max_frames: int = 0,
+    hidden_blocks=None,
 ):
     """Lazy/masked forward pass -> posteriors f32 [B, out].  Jittable.
 
@@ -186,7 +194,8 @@ def score_masked_fn(
     byte mask, /root/reference/src/java/suskun/nn/QuantizedDnn.java:88-93).
     """
     acts = hidden_forward(
-        net, frames, backend, interpret, input_precision, hstack, stack_max_frames
+        net, frames, backend, interpret, input_precision, hstack, stack_max_frames,
+        hidden_blocks,
     )
     if backend == "pallas" and fused_softmax and frames.shape[0] <= MAX_FUSED_SOFTMAX_FRAMES:
         from . import pallas_backend
@@ -247,6 +256,7 @@ class Scorer:
             fast_posteriors=self.config.fast_posteriors,
             hstack=hstack,
             stack_max_frames=self.config.stack_hidden_max_frames,
+            hidden_blocks=(self.config.block_frames, self.config.block_nodes_hidden),
         )
         self._score = jax.jit(functools.partial(score_fn, **kw))
         self._score_masked = jax.jit(
@@ -260,6 +270,7 @@ class Scorer:
                 input_precision=self.config.input_precision,
                 hstack=hstack,
                 stack_max_frames=self.config.stack_hidden_max_frames,
+                hidden_blocks=(self.config.block_frames, self.config.block_nodes_hidden),
             )
         )
         self._masked_from_acts = jax.jit(
@@ -296,6 +307,7 @@ class Scorer:
         fast_posteriors=False,  # plain-logits path stays f32
         hstack=None,  # unused: acts are already computed
         stack_max_frames=0,
+        hidden_blocks=None,  # unused: acts are already computed
     ):
         logits = output_logits(net, acts, backend, interpret)
         if out_dim != logits.shape[-1]:

@@ -116,8 +116,8 @@ def fused_hidden_layer(
     inv_scale_f32: jax.Array,
     bias_f32: jax.Array,
     *,
-    block_frames: int = 256,
-    block_nodes: int = 512,
+    block_frames: int = 512,
+    block_nodes: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """One quantized hidden layer on the MXU: int8 [B,K] x int8 [K,N] ->
