@@ -29,7 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
         prog="fastdnn-score", description="Score acoustic features with a quantized DNN on TPU"
     )
     p.add_argument("model", help="binary model file (reference format)")
-    p.add_argument("input", help="binary feature matrix file")
+    p.add_argument("input", help="feature file: binary matrix, or Kaldi text with --text-input")
     p.add_argument("out", nargs="?", default=None, help="output file (default: stdout)")
     p.add_argument(
         "out_type", nargs="?", default="TXT", choices=["BIN", "TXT"], help="output format"
@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--iterations", type=int, default=1, help="repeat scoring (timing)")
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument(
+        "--text-input",
+        action="store_true",
+        help="input is a Kaldi text feature file; every utterance is scored "
+        "in one device pass and the output keeps utterance ids (text format)",
+    )
     return p
 
 
@@ -71,12 +77,32 @@ def main(argv=None) -> int:
     raw = read_model(args.model)
     print(f"Model File  = {args.model}")
     print(f"Network     = {raw.topology()}")
-    frames = read_features(args.input)
-    print(f"Input       = {frames.shape[0]}x{frames.shape[1]}")
+    utts = None
+    if args.text_input:
+        from ..formats.kaldi_text import load_features_text
+
+        utts = load_features_text(args.input)
+        n = sum(m.shape[0] for m in utts.values())
+        dim = next(iter(utts.values())).shape[1]
+        print(f"Input       = {len(utts)} utterances, {n}x{dim}")
+    else:
+        frames = read_features(args.input)
+        print(f"Input       = {frames.shape[0]}x{frames.shape[1]}")
 
     net = from_raw(raw)
     qnet = quantize_net(net, cutoff=args.cutoff)
     scorer = Scorer(qnet, EngineConfig(backend=args.backend))
+
+    if utts is not None:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        scored = scorer.score_utterances(utts)
+        print(f"Dnn calculation time = {(_time.perf_counter() - t0) * 1000:.2f} ms.")
+        from ..formats.kaldi_text import write_features_text_kaldi
+
+        write_features_text_kaldi(scored, args.out if args.out else sys.stdout)
+        return 0
 
     masks = None
     if args.mask_density is not None:

@@ -133,6 +133,24 @@ def load_features_text(path) -> Dict[str, np.ndarray]:
         return parse_features_text(f.read())
 
 
+def write_features_text_kaldi(feats: Dict[str, np.ndarray], f) -> None:
+    """Write {utterance_id: [frames, dim]} in the Kaldi text feature format
+    this module parses (utt-id [ rows ])."""
+
+    def _emit(fh):
+        for utt_id, mat in feats.items():
+            fh.write(f"{utt_id}  [\n")
+            rows = [" ".join(f"{v:.6f}" for v in row) for row in np.asarray(mat)]
+            fh.write("\n".join("  " + r for r in rows))
+            fh.write(" ]\n")
+
+    if hasattr(f, "write"):
+        _emit(f)
+    else:
+        with open(f, "w") as fh:
+            _emit(fh)
+
+
 def first_utterance(path) -> np.ndarray:
     """First utterance's frames, like BatchData.loadFromText
     (/root/reference/src/java/suskun/nn/BatchData.java:181-183)."""

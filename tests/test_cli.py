@@ -126,3 +126,33 @@ class TestScoreCLI:
         assert np.all(np.abs(density - 0.4) < 0.1)
         flips = np.abs(np.diff(masks.astype(np.int8), axis=0)).sum(axis=1)
         assert flips.max() <= 2 * int(1000 * 0.03)
+
+
+def test_score_text_input_multi_utterance(small_net, tmp_path):
+    """--text-input scores every utterance in a Kaldi text feature file and
+    writes id-keyed text output (round-trips through our parser)."""
+    import numpy as np
+
+    from fastdnn_tpu.cli.score import main
+    from fastdnn_tpu.formats.binary import write_model
+    from fastdnn_tpu.formats.kaldi_text import load_features_text, write_features_text_kaldi
+    from fastdnn_tpu.models.feedforward import to_raw
+
+    model = tmp_path / "m.bin"
+    write_model(to_raw(small_net), model)
+    feats = tmp_path / "feats.txt"
+    rng = np.random.default_rng(0)
+    write_features_text_kaldi(
+        {
+            "utt-x": rng.standard_normal((7, small_net.input_dim)).astype(np.float32),
+            "utt-y": rng.standard_normal((3, small_net.input_dim)).astype(np.float32),
+        },
+        feats,
+    )
+    out = tmp_path / "post.txt"
+    assert main([str(model), str(feats), str(out), "--text-input", "--backend", "xla"]) == 0
+    scored = load_features_text(out)
+    assert list(scored) == ["utt-x", "utt-y"]
+    assert scored["utt-x"].shape == (7, small_net.output_dim)
+    assert scored["utt-y"].shape == (3, small_net.output_dim)
+    np.testing.assert_allclose(scored["utt-x"].sum(1), 1.0, rtol=1e-3)
