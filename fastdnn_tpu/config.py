@@ -72,9 +72,9 @@ class EngineConfig:
     #: sum-of-exp) stats in a persistent VMEM scratch while weights stay
     #: blocked-resident, so normalization needs a single logits read.
     #: ~0.5 ms/8192-frame batch faster than logits + XLA softmax on v5e.
-    #: Applies on the pallas backend for frame batches <= 8192 (the [B, 128]
-    #: stats scratch must fit scoped VMEM); larger batches and the XLA
-    #: backend use plain logits + XLA softmax automatically.
+    #: Pallas backend only; batches beyond 8192 frames (the [B, 128] stats
+    #: scratch's scoped-VMEM cap) run as row-chunked fused calls — softmax
+    #: is per-row, so chunking is exact.
     fused_softmax: bool = True
     #: store output logits + posteriors as bfloat16 in the fused-softmax
     #: kernel, halving output-stage HBM traffic.  Softmax stats stay f32;

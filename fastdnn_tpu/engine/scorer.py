@@ -40,7 +40,7 @@ from ..utils.align import aligned_size
 
 #: the fused-softmax output kernel keeps two [B, 128] f32 stats scratches in
 #: VMEM for the whole grid; past 8192 frames they exceed the ~16 MB scoped
-#: VMEM budget, so larger batches fall back to logits + XLA softmax.
+#: VMEM budget, so larger batches are row-chunked (exact: softmax is per-row).
 MAX_FUSED_SOFTMAX_FRAMES = 8192
 
 
@@ -129,6 +129,39 @@ def output_logits(net: QuantizedNet, acts: jax.Array, backend: str, interpret: b
     )
 
 
+def _fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, fast):
+    """Fused output kernel over arbitrary batch sizes.
+
+    The kernel's [B, 128] stats scratch caps one call at
+    MAX_FUSED_SOFTMAX_FRAMES; larger batches run as row-chunked calls
+    (softmax is per-row, so chunking is exact) and concatenate.
+    """
+    from . import pallas_backend
+
+    def one(a, m):
+        return pallas_backend.output_posteriors(
+            a,
+            net.weights[-1],
+            net.colsum128[-1],
+            net.inv_scales[-1],
+            net.biases[-1],
+            m,
+            out_dim=out_dim,
+            semantics=semantics,
+            interpret=interpret,
+            fast=fast,
+        )
+
+    b = acts.shape[0]
+    if b <= MAX_FUSED_SOFTMAX_FRAMES:
+        return one(acts, masks)
+    chunks = []
+    for lo in range(0, b, MAX_FUSED_SOFTMAX_FRAMES):
+        hi = min(lo + MAX_FUSED_SOFTMAX_FRAMES, b)
+        chunks.append(one(acts[lo:hi], masks[lo:hi] if masks is not None else None))
+    return jnp.concatenate(chunks, axis=0)
+
+
 def score_fn(
     net: QuantizedNet,
     frames: jax.Array,
@@ -152,17 +185,13 @@ def score_fn(
         net, frames, backend, interpret, input_precision, hstack, stack_max_frames,
         hidden_blocks,
     )
-    if backend == "pallas" and fused_softmax and frames.shape[0] <= MAX_FUSED_SOFTMAX_FRAMES:
-        from . import pallas_backend
-
-        return pallas_backend.output_posteriors(
+    if backend == "pallas" and fused_softmax:
+        return _fused_posteriors(
+            net,
             acts,
-            net.weights[-1],
-            net.colsum128[-1],
-            net.inv_scales[-1],
-            net.biases[-1],
             None,
             out_dim=out_dim if out_dim is not None else net.output_dim,
+            semantics="reference",
             interpret=interpret,
             fast=fast_posteriors,
         )
@@ -197,21 +226,16 @@ def score_masked_fn(
         net, frames, backend, interpret, input_precision, hstack, stack_max_frames,
         hidden_blocks,
     )
-    if backend == "pallas" and fused_softmax and frames.shape[0] <= MAX_FUSED_SOFTMAX_FRAMES:
-        from . import pallas_backend
-
+    if backend == "pallas" and fused_softmax:
         true_out = out_dim if out_dim is not None else net.output_dim
         # masks are [B, true_out]; pad to the MXU-padded width (padded
         # columns are masked out in-kernel via the out_dim cutoff anyway)
         n_pad = net.weights[-1].shape[1]
         if masks.shape[-1] != n_pad:
             masks = jnp.pad(masks, ((0, 0), (0, n_pad - masks.shape[-1])))
-        return pallas_backend.output_posteriors(
+        return _fused_posteriors(
+            net,
             acts,
-            net.weights[-1],
-            net.colsum128[-1],
-            net.inv_scales[-1],
-            net.biases[-1],
             masks,
             out_dim=true_out,
             semantics=semantics,

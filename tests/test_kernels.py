@@ -179,3 +179,28 @@ def test_end_to_end_pallas_scorer_interpret(small_net, features_16khz):
     np.testing.assert_allclose(
         sc_p.score_masked(frames, masks), sc_x.score_masked(frames, masks), atol=1e-5
     )
+
+
+def test_fused_softmax_chunks_large_batches(rng, monkeypatch):
+    """Batches beyond the stats-scratch cap run as row-chunked fused calls;
+    softmax is per-row so the result equals the unchunked plain path."""
+    import jax.numpy as jnp
+
+    import fastdnn_tpu.engine.scorer as sc
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.quant.quantize import pad_qnet_for_tpu, quantize_net
+
+    monkeypatch.setattr(sc, "MAX_FUSED_SOFTMAX_FRAMES", 128)
+    net = random_net(jax.random.PRNGKey(0), 40, [64, 64], 100)
+    qnet = pad_qnet_for_tpu(quantize_net(net))
+    x = jnp.asarray(rng.standard_normal((384, 40)).astype(np.float32))
+    xp = jnp.pad(x, ((0, 0), (0, qnet.input_dim - 40)))
+    kw = dict(backend="pallas", interpret=True, out_dim=100)
+    fused = sc.score_fn(qnet, xp, fused_softmax=True, **kw)
+    plain = sc.score_fn(qnet, xp, fused_softmax=False, **kw)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), atol=1e-6)
+    # masked path chunks too
+    masks = jnp.asarray((rng.random((384, 100)) < 0.4).astype(np.uint8))
+    mf = sc.score_masked_fn(qnet, xp, masks, fused_softmax=True, **kw)
+    mp = sc.score_masked_fn(qnet, xp, masks, fused_softmax=False, **kw)
+    np.testing.assert_allclose(np.asarray(mf), np.asarray(mp), atol=1e-6)
