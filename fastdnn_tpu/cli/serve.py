@@ -85,7 +85,7 @@ class _Handler(socketserver.BaseRequestHandler):
                     sock.sendall(struct.pack("<BI", 0, len(payload)) + payload)
                     continue
                 n, dim = struct.unpack("<II", _recv_exact(sock, 8))
-                if n == 0 or n * dim > 1 << 28:
+                if n == 0 or dim == 0 or n * dim > 1 << 28:
                     _send_err(sock, f"bad frame count/dim {n}x{dim}")
                     continue
                 frames = np.frombuffer(

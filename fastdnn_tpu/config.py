@@ -65,8 +65,10 @@ class EngineConfig:
     block_nodes_hidden: int = 1024
     #: Pallas frame block for the output layer
     block_frames_out: int = 256
-    #: Pallas node-axis block for the output layer (f32 logits block is 4x fatter)
-    block_nodes_out: int = 1024
+    #: Pallas node-axis block for the output layer (f32 logits + stats
+    #: scratch cap the fused kernel's VMEM budget; 512 is the tuned sweet
+    #: spot on v5e, 1024 overflows scoped VMEM with the stats scratch)
+    block_nodes_out: int = 512
     #: use the fused in-kernel flash-softmax output kernel instead of
     #: logits + XLA softmax: the output matmul accumulates softmax (max,
     #: sum-of-exp) stats in a persistent VMEM scratch while weights stay

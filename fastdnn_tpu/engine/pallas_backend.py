@@ -67,6 +67,8 @@ def output_posteriors(
     semantics: str = "reference",
     interpret: bool = False,
     fast: bool = False,
+    block_frames: int = 256,
+    block_nodes: int = 512,
 ) -> jax.Array:
     """Fused output matmul + (optional mask) + softmax -> [B, out_dim]."""
     return pk.output_layer_posteriors(
@@ -80,6 +82,8 @@ def output_posteriors(
         semantics=semantics,
         interpret=interpret,
         fast=fast,
+        block_frames=block_frames,
+        block_nodes=block_nodes,
     )
 
 

@@ -112,10 +112,15 @@ def hidden_forward(
     return acts
 
 
-def output_logits(net: QuantizedNet, acts: jax.Array, backend: str, interpret: bool):
+def output_logits(
+    net: QuantizedNet, acts: jax.Array, backend: str, interpret: bool, out_blocks=None
+):
     if backend == "pallas":
         from . import pallas_backend
 
+        bkw = {}
+        if out_blocks is not None:
+            bkw = dict(block_frames=out_blocks[0], block_nodes=out_blocks[1])
         return pallas_backend.output_logits(
             acts,
             net.weights[-1],
@@ -123,13 +128,14 @@ def output_logits(net: QuantizedNet, acts: jax.Array, backend: str, interpret: b
             net.inv_scales[-1],
             net.biases[-1],
             interpret=interpret,
+            **bkw,
         )
     return xops.output_logits(
         acts, net.weights[-1], net.colsum128[-1], net.inv_scales[-1], net.biases[-1]
     )
 
 
-def _fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, fast):
+def _fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, fast, out_blocks=None):
     """Fused output kernel over arbitrary batch sizes.
 
     The kernel's [B, 128] stats scratch caps one call at
@@ -137,6 +143,10 @@ def _fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, fast):
     (softmax is per-row, so chunking is exact) and concatenate.
     """
     from . import pallas_backend
+
+    bkw = {}
+    if out_blocks is not None:
+        bkw = dict(block_frames=out_blocks[0], block_nodes=out_blocks[1])
 
     def one(a, m):
         return pallas_backend.output_posteriors(
@@ -150,6 +160,7 @@ def _fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, fast):
             semantics=semantics,
             interpret=interpret,
             fast=fast,
+            **bkw,
         )
 
     b = acts.shape[0]
@@ -175,6 +186,7 @@ def score_fn(
     hstack=None,
     stack_max_frames: int = 0,
     hidden_blocks=None,
+    out_blocks=None,
 ):
     """Full forward pass -> posteriors f32 [B, out].  Jittable.
 
@@ -194,8 +206,9 @@ def score_fn(
             semantics="reference",
             interpret=interpret,
             fast=fast_posteriors,
+            out_blocks=out_blocks,
         )
-    logits = output_logits(net, acts, backend, interpret)
+    logits = output_logits(net, acts, backend, interpret, out_blocks)
     if out_dim is not None and out_dim != logits.shape[-1]:
         logits = logits[:, :out_dim]
     return jax.nn.softmax(logits, axis=-1)
@@ -216,6 +229,7 @@ def score_masked_fn(
     hstack=None,
     stack_max_frames: int = 0,
     hidden_blocks=None,
+    out_blocks=None,
 ):
     """Lazy/masked forward pass -> posteriors f32 [B, out].  Jittable.
 
@@ -241,8 +255,9 @@ def score_masked_fn(
             semantics=semantics,
             interpret=interpret,
             fast=fast_posteriors,
+            out_blocks=out_blocks,
         )
-    logits = output_logits(net, acts, backend, interpret)
+    logits = output_logits(net, acts, backend, interpret, out_blocks)
     if out_dim is not None and out_dim != logits.shape[-1]:
         logits = logits[:, :out_dim]
     mask_bool = masks != 0
@@ -281,6 +296,7 @@ class Scorer:
             hstack=hstack,
             stack_max_frames=self.config.stack_hidden_max_frames,
             hidden_blocks=(self.config.block_frames, self.config.block_nodes_hidden),
+            out_blocks=(self.config.block_frames_out, self.config.block_nodes_out),
         )
         self._score = jax.jit(functools.partial(score_fn, **kw))
         self._score_masked = jax.jit(
@@ -332,8 +348,14 @@ class Scorer:
         hstack=None,  # unused: acts are already computed
         stack_max_frames=0,
         hidden_blocks=None,  # unused: acts are already computed
+        out_blocks=None,
     ):
-        logits = output_logits(net, acts, backend, interpret)
+        n = acts.shape[0]
+        if backend == "pallas" and n % 32:
+            # pallas kernels need B % 32 == 0; LazyContext scores single rows
+            pad = 32 - n % 32
+            acts = jnp.pad(acts, ((0, pad), (0, 0)))
+        logits = output_logits(net, acts, backend, interpret, out_blocks)[:n]
         if out_dim != logits.shape[-1]:
             logits = logits[:, :out_dim]
         mask_bool = masks != 0
@@ -484,6 +506,7 @@ class LazyContext:
             )
         padded, _ = self._scorer._prepare(frames)
         self._acts = self._scorer._hidden(self._scorer.net, padded)
+        self.current_vector_index = 0  # context is reusable across utterances
 
     def calculate_for_output_nodes(self, mask) -> np.ndarray:
         """Posteriors f32 [out] for the next frame given its active-node mask."""

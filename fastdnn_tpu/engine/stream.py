@@ -79,6 +79,8 @@ class StreamingScorer:
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self.throughput = Throughput()
         self._closed = False
+        self._submit_lock = threading.Lock()
+        self._carry: Optional[_Item] = None  # worker-private push-back slot
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -86,8 +88,12 @@ class StreamingScorer:
 
     def submit(self, frames, masks=None) -> "Future[np.ndarray]":
         """Enqueue one utterance; returns a Future of posteriors [n, out]."""
-        if self._closed:
-            raise RuntimeError("StreamingScorer is closed")
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("StreamingScorer is closed")
+            return self._submit_locked(frames, masks)
+
+    def _submit_locked(self, frames, masks) -> "Future[np.ndarray]":
         frames = np.ascontiguousarray(frames, dtype=np.float32)
         if frames.ndim != 2:
             raise ValueError(f"frames must be [n, dim], got {frames.shape}")
@@ -108,10 +114,13 @@ class StreamingScorer:
 
     def close(self, wait: bool = True) -> None:
         """Stop accepting work; drain the queue (if wait) and join."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(_CLOSE)
+        with self._submit_lock:
+            if self._closed:
+                return
+            # under the lock no submit() can slip an item behind the
+            # sentinel, so everything enqueued before close() is processed
+            self._closed = True
+            self._q.put(_CLOSE)
         if wait:
             self._worker.join()
 
@@ -126,8 +135,16 @@ class StreamingScorer:
 
     def _take_group(self) -> Optional[List[_Item]]:
         """Collect compatible items (same masked-ness) up to max_batch_frames,
-        waiting at most max_wait for stragglers after the first arrival."""
-        first = self._q.get()
+        waiting at most max_wait for stragglers after the first arrival.
+
+        Push-backs (an incompatible/overflowing item, or the close sentinel)
+        go to worker-private slots — never back onto the shared queue, which
+        could block forever when producers keep it full (the worker is the
+        only consumer)."""
+        if self._carry is not None:
+            first, self._carry = self._carry, None
+        else:
+            first = self._q.get()
         if first is _CLOSE:
             return None
         group = [first]
@@ -143,13 +160,13 @@ class StreamingScorer:
             except queue.Empty:
                 break
             if item is _CLOSE:
-                self._q.put(_CLOSE)  # re-deliver for the outer loop
+                self._carry = _CLOSE  # re-deliver for the outer loop
                 break
             if (item.masks is not None) != masked or (
                 total + item.frames.shape[0] > self._max_frames
             ):
-                # incompatible or overflowing: push back and dispatch now
-                self._q.put(item)
+                # incompatible or overflowing: carry over, dispatch now
+                self._carry = item
                 break
             group.append(item)
             total += item.frames.shape[0]

@@ -35,6 +35,13 @@ def _floats(text: str) -> np.ndarray:
     return np.array([float(t) for t in text.split()], dtype=np.float32)
 
 
+def _next_line(lines):
+    try:
+        return next(lines)
+    except StopIteration:
+        raise ValueError("truncated network file: expected more weight/bias rows") from None
+
+
 def parse_network_text(text: str) -> List[RawLayer]:
     """Parse nnet1 text into affine layers (weights [out, in], bias [out])."""
     layers: List[RawLayer] = []
@@ -59,7 +66,7 @@ def parse_network_text(text: str) -> List[RawLayer]:
         row = line
         for i in range(node_count + 1):
             if i > 0:
-                row = next(lines)
+                row = _next_line(lines)
             vals = _floats(row.replace("[", " ").replace("]", " "))
             if i < node_count:
                 if vals.shape[0] != input_count:

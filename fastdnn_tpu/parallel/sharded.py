@@ -33,10 +33,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # jax >= 0.6 public API, else experimental
-    from jax import shard_map as _shard_map_mod
-
-    shard_map = _shard_map_mod
-except ImportError:  # pragma: no cover
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..engine.scorer import hidden_forward, output_logits
@@ -65,34 +63,43 @@ def make_gspmd_scorer(
 
     fs = frames_sharding(mesh)
     out_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    mask_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    # jit executables are cached per net STRUCTURE (the in_shardings pytree
+    # depends on the layer count): building a fresh jax.jit wrapper per call
+    # would retrace + recompile every invocation.
+    _cache: dict = {}
 
-    def _net_shardings(qnet: QuantizedNet):
-        return qnet_shardings(mesh)(qnet)
+    def _jitted(kind: str, qnet: QuantizedNet):
+        key = (kind, len(qnet.weights))
+        if key not in _cache:
+            net_sh = qnet_shardings(mesh)(qnet)
+            if kind == "score":
+                _cache[key] = jax.jit(
+                    functools.partial(
+                        score_fn, backend=backend, interpret=interpret, out_dim=out_dim
+                    ),
+                    in_shardings=(net_sh, fs),
+                    out_shardings=out_sharding,
+                )
+            else:
+                _cache[key] = jax.jit(
+                    functools.partial(
+                        score_masked_fn,
+                        backend=backend,
+                        interpret=interpret,
+                        out_dim=out_dim,
+                        semantics=semantics,
+                    ),
+                    in_shardings=(net_sh, fs, mask_sharding),
+                    out_shardings=out_sharding,
+                )
+        return _cache[key]
 
     def score(qnet, frames):
-        shardings = (_net_shardings(qnet), fs)
-        f = jax.jit(
-            functools.partial(score_fn, backend=backend, interpret=interpret, out_dim=out_dim),
-            in_shardings=shardings,
-            out_shardings=out_sharding,
-        )
-        return f(qnet, frames)
+        return _jitted("score", qnet)(qnet, frames)
 
     def score_masked(qnet, frames, masks):
-        mask_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
-        shardings = (_net_shardings(qnet), fs, mask_sharding)
-        f = jax.jit(
-            functools.partial(
-                score_masked_fn,
-                backend=backend,
-                interpret=interpret,
-                out_dim=out_dim,
-                semantics=semantics,
-            ),
-            in_shardings=shardings,
-            out_shardings=out_sharding,
-        )
-        return f(qnet, frames, masks)
+        return _jitted("masked", qnet)(qnet, frames, masks)
 
     return score, score_masked
 
@@ -157,7 +164,7 @@ def score_shard_map(
             return e / s
         return _sharded_softmax(z)
 
-    f = jax.shard_map(
+    f = shard_map(
         body,
         mesh=mesh,
         in_specs=tuple(in_specs),

@@ -93,6 +93,10 @@ def quantize_layer(w: jax.Array, cutoff: float):
     """
     clamped = jnp.clip(w, -cutoff, cutoff)
     absmax = jnp.max(jnp.abs(clamped))
+    # an all-zero layer is exactly representable: any finite multiplier
+    # quantizes it to zeros; guard the division so it doesn't produce
+    # inf/NaN (the reference would divide by zero here, dnn.cc:479)
+    absmax = jnp.where(absmax == 0, 1.0, absmax)
     multiplier = _round_half_away(WEIGHT_SCALE / absmax)
     w_q = jnp.clip(_round_half_away(clamped * multiplier), -128, 127)
     return w_q.astype(jnp.int8), multiplier.astype(jnp.float32)
