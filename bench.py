@@ -79,11 +79,19 @@ def chained_frames_per_s(
 
         return lambda: np.asarray(f(frames)[0, 0])
 
-    t_lo = synced_time(make(reps_lo), iters)
-    t_hi = synced_time(make(reps_hi), iters)
-    if t_hi <= t_lo:
-        return float("nan")
-    return (reps_hi - reps_lo) * b / (t_hi - t_lo)
+    # the relay occasionally drops long remote compiles; degrade the rep
+    # window rather than crash (the driver records whatever JSON we print)
+    for lo, hi in ((reps_lo, reps_hi), (2, 12), (1, 4)):
+        try:
+            t_lo = synced_time(make(lo), iters)
+            t_hi = synced_time(make(hi), iters)
+        except Exception as e:  # compile/transport failure: shrink and retry
+            print(f"# bench window {lo}/{hi} failed ({type(e).__name__}); retrying smaller",
+                  file=sys.stderr)
+            continue
+        if t_hi > t_lo:
+            return (hi - lo) * b / (t_hi - t_lo)
+    return float("nan")
 
 
 def run_config(name: str, backend: str, iters: int) -> dict:
@@ -223,6 +231,12 @@ def main(argv=None) -> int:
         jax.random.normal(jax.random.PRNGKey(0), (b, 432), jnp.float32)
     )
 
+    def _r(x, nd=None):
+        """round() that survives NaN (degraded-measurement fallback)."""
+        if x != x:
+            return None
+        return round(x, nd) if nd is not None else round(x)
+
     # full (non-lazy) scoring
     fps = chained_frames_per_s(
         lambda x: scorer._score(scorer.net, x), frames, iters=args.iters
@@ -235,20 +249,23 @@ def main(argv=None) -> int:
             jnp.uint8
         )
     )
-    lazy_fps = chained_frames_per_s(
-        lambda x, m: scorer._score_masked(scorer.net, x, m),
-        frames,
-        masks=masks,
-        iters=args.iters,
-    )
+    try:
+        lazy_fps = chained_frames_per_s(
+            lambda x, m: scorer._score_masked(scorer.net, x, m),
+            frames,
+            masks=masks,
+            iters=args.iters,
+        )
+    except Exception:  # lazy measurement must not cost us the headline
+        lazy_fps = float("nan")
 
     result = {
         "metric": "audio_seconds_per_second_per_chip_7x2048x8000",
-        "value": round(audio_s_per_s, 1),
+        "value": _r(audio_s_per_s, 1),
         "unit": "audio-s/s/chip",
-        "vs_baseline": round(audio_s_per_s / REFERENCE_AUDIO_S_PER_S, 1),
-        "frames_per_s": round(fps),
-        "lazy_frames_per_s_40pct": round(lazy_fps),
+        "vs_baseline": _r(audio_s_per_s / REFERENCE_AUDIO_S_PER_S, 1),
+        "frames_per_s": _r(fps),
+        "lazy_frames_per_s_40pct": _r(lazy_fps),
         "backend": scorer._backend,
         "platform": platform,
         "batch": b,
