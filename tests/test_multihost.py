@@ -1,0 +1,67 @@
+"""True multi-process distributed test: 2 processes x 4 CPU devices each,
+wired by jax.distributed into one 8-device mesh (the fake-pod validation
+the reference has no analog of; SURVEY.md §4).
+
+Each "host" owns half the data axis — the cross-process dimension plays
+the role of DCN, the in-process model axis the role of ICI.  The gathered
+posteriors must match the plain single-process engine.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_mesh_matches_single_process(tmp_path):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coord, "2", str(pid), str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    gathered = np.load(tmp_path / "multihost_post.npy")
+
+    # single-process oracle with identical seeds
+    import jax
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    net = random_net(jax.random.PRNGKey(5), 32, [64, 64], 32)
+    qnet = quantize_net(net)
+    frames = np.random.default_rng(7).standard_normal((64, 32)).astype(np.float32)
+    expected = Scorer(qnet, EngineConfig(backend="xla")).score(frames)
+    assert gathered.shape == expected.shape
+    np.testing.assert_allclose(gathered, expected, atol=1e-5)
