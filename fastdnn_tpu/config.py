@@ -57,14 +57,15 @@ class EngineConfig:
     #: frame counts are padded up to a multiple of this before jit so that
     #: streams of utterances reuse a small set of compiled shapes.
     frame_bucket: int = 128
-    #: Pallas block size over the frame axis (tuned on v5e)
-    block_frames: int = 512
-    #: Pallas node-axis block for hidden layers.  1024 (a 2 MB half-width
-    #: weight block) measures ~1.5x faster than the full 2048 width on v5e —
-    #: better VMEM double-buffering at the same reuse.
+    #: Pallas block size over the frame axis (trace-tuned on v5e)
+    block_frames: int = 1024
+    #: Pallas node-axis block for hidden layers (trace-tuned on v5e:
+    #: 1024x1024 blocks edge out the alternatives by a few percent; all
+    #: choices sit within ~10% — the kernel is near its MXU ceiling).
     block_nodes_hidden: int = 1024
-    #: Pallas frame block for the output layer
-    block_frames_out: int = 256
+    #: Pallas frame block for the output layer (trace-tuned: 512-frame
+    #: blocks amortize the stats sweep ~10% better than 256)
+    block_frames_out: int = 512
     #: Pallas node-axis block for the output layer (f32 logits + stats
     #: scratch cap the fused kernel's VMEM budget; 512 is the tuned sweet
     #: spot on v5e, 1024 overflows scoped VMEM with the stats scratch)

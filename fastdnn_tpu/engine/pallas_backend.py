@@ -17,7 +17,7 @@ def hidden_layer_step(
     bias_f32: jax.Array,
     *,
     interpret: bool = False,
-    block_frames: int = 512,
+    block_frames: int = 1024,
     block_nodes: int = 1024,
 ) -> jax.Array:
     return pk.fused_hidden_layer(
@@ -67,7 +67,7 @@ def output_posteriors(
     semantics: str = "reference",
     interpret: bool = False,
     fast: bool = False,
-    block_frames: int = 256,
+    block_frames: int = 512,
     block_nodes: int = 512,
 ) -> jax.Array:
     """Fused output matmul + (optional mask) + softmax -> [B, out_dim]."""

@@ -298,9 +298,25 @@ class Scorer:
             hidden_blocks=(self.config.block_frames, self.config.block_nodes_hidden),
             out_blocks=(self.config.block_frames_out, self.config.block_nodes_out),
         )
-        self._score = jax.jit(functools.partial(score_fn, **kw))
+        # Pin the posteriors' entry layout to row-major: with the unaligned
+        # true senone count (e.g. 8000), XLA's layout assignment otherwise
+        # picks a column-major program output and inserts a full transpose
+        # copy of the result (~0.8 ms per 8192-frame batch on v5e).
+        jit_kw = {}
+        if self._backend == "pallas" and not self.config.interpret:
+            try:
+                import jax.experimental.layout as jl
+
+                jit_kw["out_shardings"] = jl.Format(
+                    jl.Layout(major_to_minor=(0, 1)),
+                    jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+                )
+            except Exception:  # pragma: no cover - layout API drift
+                jit_kw = {}
+        self._score = jax.jit(functools.partial(score_fn, **kw), **jit_kw)
         self._score_masked = jax.jit(
-            functools.partial(score_masked_fn, semantics=self.config.lazy_semantics, **kw)
+            functools.partial(score_masked_fn, semantics=self.config.lazy_semantics, **kw),
+            **jit_kw,
         )
         self._hidden = jax.jit(
             functools.partial(

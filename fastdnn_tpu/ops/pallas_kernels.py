@@ -38,14 +38,14 @@ LANES = 128
 
 
 def _quantized_sigmoid_shifted(lin: jax.Array) -> jax.Array:
-    """In-kernel quantized sigmoid -> shifted int8 (see ops/sigmoid.py)."""
+    """In-kernel quantized sigmoid -> shifted int8 (see ops/sigmoid.py:
+    the boundary clamps fall out of the clipped formula itself)."""
     half = float(SIGMOID_HALF_LOOKUP_SIZE)
-    k = jnp.sign(lin) * jnp.floor(jnp.abs(lin) * SIGMOID_RESOLUTION + 0.5)
-    kc = jnp.clip(k, -half, half)
+    kc = jnp.clip(
+        jnp.sign(lin) * jnp.floor(jnp.abs(lin) * SIGMOID_RESOLUTION + 0.5), -half, half
+    )
     s = 1.0 / (1.0 + jnp.exp(-kc / SIGMOID_RESOLUTION))
     q = jnp.floor(s * ACTIVATION_SCALE + 0.5)
-    q = jnp.where(k <= -half, 0.0, q)
-    q = jnp.where(k >= half, ACTIVATION_SCALE, q)
     return (q - ZERO_POINT).astype(jnp.int8)
 
 
@@ -116,7 +116,7 @@ def fused_hidden_layer(
     inv_scale_f32: jax.Array,
     bias_f32: jax.Array,
     *,
-    block_frames: int = 512,
+    block_frames: int = 1024,
     block_nodes: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
@@ -331,7 +331,7 @@ def output_layer_posteriors(
     *,
     out_dim: int,
     semantics: str = "reference",
-    block_frames: int = 256,
+    block_frames: int = 512,
     block_nodes: int = 512,
     interpret: bool = False,
     fast: bool = False,

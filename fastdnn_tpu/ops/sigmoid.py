@@ -37,14 +37,19 @@ def _round_half_away(x):
 
 
 def quantized_sigmoid_u8(x: jnp.ndarray) -> jnp.ndarray:
-    """f32 -> quantized sigmoid counts in [0, 255], dtype uint8."""
+    """f32 -> quantized sigmoid counts in [0, 255], dtype uint8.
+
+    The out-of-table clamps (k <= -640 -> 0, k >= 640 -> 255, dnn.h:35-42)
+    need no explicit selects: at the clipped boundary the formula itself
+    rounds there — round(sigmoid(-6.4)*255) = round(0.423) = 0 and
+    round(sigmoid(6.4)*255) = round(254.58) = 255, with ~0.08 margin, far
+    above f32 noise.  (Bit-exactness vs the rebuilt LUT is test-gated.)
+    """
     half = float(SIGMOID_HALF_LOOKUP_SIZE)
     k = _round_half_away(x * SIGMOID_RESOLUTION)
     kc = jnp.clip(k, -half, half)
     s = 1.0 / (1.0 + jnp.exp(-kc / SIGMOID_RESOLUTION))
     q = jnp.floor(s * ACTIVATION_SCALE + 0.5)  # s >= 0: half-up == half-away
-    q = jnp.where(k <= -half, 0.0, q)
-    q = jnp.where(k >= half, ACTIVATION_SCALE, q)
     return q.astype(jnp.uint8)
 
 
