@@ -63,9 +63,9 @@ class EngineConfig:
     #: 1024x1024 blocks edge out the alternatives by a few percent; all
     #: choices sit within ~10% — the kernel is near its MXU ceiling).
     block_nodes_hidden: int = 1024
-    #: Pallas frame block for the output layer (trace-tuned: 512-frame
-    #: blocks amortize the stats sweep ~10% better than 256)
-    block_frames_out: int = 512
+    #: Pallas frame block for the output layer (trace-tuned for the
+    #: resident-softmax kernel: 256 beats 128/512 by ~10%)
+    block_frames_out: int = 256
     #: Pallas node-axis block for the output layer (f32 logits + stats
     #: scratch cap the fused kernel's VMEM budget; 512 is the tuned sweet
     #: spot on v5e, 1024 overflows scoped VMEM with the stats scratch)

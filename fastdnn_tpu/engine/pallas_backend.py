@@ -100,3 +100,33 @@ def hidden_stack_step(
     """
     w, cs, inv, bias = hstack
     return pk.fused_hidden_stack(acts_i8, w, cs, inv, bias, interpret=interpret)
+
+
+def output_posteriors_resident(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    masks: jax.Array | None,
+    *,
+    out_dim: int,
+    semantics: str = "reference",
+    interpret: bool = False,
+    fast: bool = False,
+    block_frames: int = 256,
+) -> jax.Array:
+    """One-kernel output + full softmax with VMEM-resident weights."""
+    return pk.output_layer_posteriors_resident(
+        acts_i8,
+        w_i8,
+        colsum128_i32,
+        inv_scale_f32,
+        bias_f32,
+        masks,
+        out_dim=out_dim,
+        semantics=semantics,
+        interpret=interpret,
+        fast=fast,
+        block_frames=block_frames,
+    )

@@ -38,10 +38,15 @@ from ..ops import matmul as xops
 from ..quant.quantize import QuantizedNet
 from ..utils.align import aligned_size
 
-#: the fused-softmax output kernel keeps two [B, 128] f32 stats scratches in
-#: VMEM for the whole grid; past 8192 frames they exceed the ~16 MB scoped
-#: VMEM budget, so larger batches are row-chunked (exact: softmax is per-row).
+#: the stats-based fused-softmax kernel keeps two [B, 128] f32 scratches in
+#: VMEM for the whole grid; past 8192 frames they exceed its VMEM budget, so
+#: larger batches are row-chunked (exact: softmax is per-row).
 MAX_FUSED_SOFTMAX_FRAMES = 8192
+
+#: the resident output kernel holds the whole [K, N] int8 output weight
+#: matrix in VMEM (plus two f32 [bm, N] working sets); beyond this weight
+#: size fall back to the node-blocked stats kernel + normalize pass.
+RESIDENT_OUTPUT_MAX_BYTES = 48 * 1024 * 1024
 
 
 def _default_platform() -> str:
@@ -136,13 +141,32 @@ def output_logits(
 
 
 def _fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, fast, out_blocks=None):
-    """Fused output kernel over arbitrary batch sizes.
+    """Fused output + softmax, picking the best kernel for the net size.
 
-    The kernel's [B, 128] stats scratch caps one call at
-    MAX_FUSED_SOFTMAX_FRAMES; larger batches run as row-chunked calls
-    (softmax is per-row, so chunking is exact) and concatenate.
+    Primary: the RESIDENT kernel — the whole output weight matrix lives in
+    VMEM, the softmax completes in one pass (no stats side channels, no
+    normalize read), and it works at any batch size.  Fallback for output
+    weights too big for VMEM: the node-blocked stats kernel + one-read
+    normalize, row-chunked past its [B, 128]-scratch cap
+    (MAX_FUSED_SOFTMAX_FRAMES; softmax is per-row, so chunking is exact).
     """
     from . import pallas_backend
+
+    k, n = net.weights[-1].shape
+    if k * n <= RESIDENT_OUTPUT_MAX_BYTES:
+        return pallas_backend.output_posteriors_resident(
+            acts,
+            net.weights[-1],
+            net.colsum128[-1],
+            net.inv_scales[-1],
+            net.biases[-1],
+            masks,
+            out_dim=out_dim,
+            semantics=semantics,
+            interpret=interpret,
+            fast=fast,
+            block_frames=out_blocks[0] if out_blocks is not None else 256,
+        )
 
     bkw = {}
     if out_blocks is not None:

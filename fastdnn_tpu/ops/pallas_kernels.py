@@ -136,13 +136,13 @@ def fused_hidden_layer(
     )
 
 
-def _stack_kernel_factory(n_layers: int):
+def _stack_kernel_factory(n_layers: int, resident: bool):
     """All hidden layers in one kernel: grid (frame blocks, layers) with the
     LAYER axis fastest.  Activations stay in a VMEM scratch between layers —
-    they never touch HBM — while each step streams one 4 MB weight matrix
-    (double-buffered by the pipeline).  Versus one kernel per layer this
-    saves n-1 dispatches and 2x(n-1) int8 activation HBM passes, at the cost
-    of re-streaming the weight stack once per frame block."""
+    they never touch HBM.  Weights either stream one matrix per step
+    (double-buffered; re-read once per frame block) or, `resident`, the
+    whole [L, H, H] stack sits in VMEM for the entire grid — zero weight
+    re-streaming at any batch size (scoped-VMEM limit raised accordingly)."""
 
     def kernel(x_ref, w_ref, colsum_ref, bias_ref, inv_ref, out_ref, acts):
         l = pl.program_id(1)
@@ -152,8 +152,12 @@ def _stack_kernel_factory(n_layers: int):
             acts[:] = x_ref[:]
 
         a = acts[:]
-        acc = jnp.dot(a, w_ref[0], preferred_element_type=jnp.int32)
-        lin = (acc + colsum_ref[0]).astype(jnp.float32) * inv_ref[0, 0, 0] + bias_ref[0]
+        w = w_ref[l] if resident else w_ref[0]
+        cs = colsum_ref[l] if resident else colsum_ref[0]
+        bias = bias_ref[l] if resident else bias_ref[0]
+        inv = inv_ref[l, 0, 0] if resident else inv_ref[0, 0, 0]
+        acc = jnp.dot(a, w, preferred_element_type=jnp.int32)
+        lin = (acc + cs).astype(jnp.float32) * inv + bias
         res = _quantized_sigmoid_shifted(lin)
         acts[:] = res
 
@@ -164,7 +168,7 @@ def _stack_kernel_factory(n_layers: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_frames", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_frames", "interpret", "resident"))
 def fused_hidden_stack(
     acts_i8: jax.Array,
     w_stack_i8: jax.Array,
@@ -174,6 +178,7 @@ def fused_hidden_stack(
     *,
     block_frames: int = 512,
     interpret: bool = False,
+    resident: bool = False,
 ) -> jax.Array:
     """All equal-width hidden layers in one MXU pass chain.
 
@@ -197,22 +202,38 @@ def fused_hidden_stack(
     while b % bm:
         bm //= 2
     grid = (b // bm, L)  # layers iterate fastest; acts scratch carries depth
+    if resident:
+        w_spec = pl.BlockSpec((L, k, n), lambda i, l: (0, 0, 0), memory_space=pltpu.VMEM)
+        v_spec = pl.BlockSpec((L, 1, n), lambda i, l: (0, 0, 0), memory_space=pltpu.VMEM)
+        i_spec = pl.BlockSpec((L, 1, 1), lambda i, l: (0, 0, 0), memory_space=pltpu.SMEM)
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                int((L * k * n + 4 * bm * k + 12 * bm * n + (1 << 22)) * 1.25),
+                100 * 1024 * 1024,
+            )
+        )
+    else:
+        w_spec = pl.BlockSpec((1, k, n), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM)
+        v_spec = pl.BlockSpec((1, 1, n), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM)
+        i_spec = pl.BlockSpec((1, 1, 1), lambda i, l: (l, 0, 0), memory_space=pltpu.SMEM)
+        compiler_params = None
     return pl.pallas_call(
-        _stack_kernel_factory(L),
+        _stack_kernel_factory(L, resident),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, k), lambda i, l: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, n), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda i, l: (l, 0, 0), memory_space=pltpu.SMEM),
+            w_spec,
+            v_spec,
+            v_spec,
+            i_spec,
         ],
         out_specs=pl.BlockSpec((bm, n), lambda i, l: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.int8),
         scratch_shapes=[pltpu.VMEM((bm, n), jnp.int8)],
+        **({"compiler_params": compiler_params} if compiler_params else {}),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * k * L,
-            bytes_accessed=b * k + (b // bm) * L * k * n + b * n,
+            bytes_accessed=b * k + (k * n * (L if resident else (b // bm) * L)) + b * n,
             transcendentals=b * n * L,
         ),
         interpret=interpret,
@@ -223,6 +244,119 @@ def fused_hidden_stack(
         bias_stack_f32.reshape(L, 1, n),
         jnp.asarray(inv_scales_f32, jnp.float32).reshape(L, 1, 1),
     )
+
+
+def _resident_softmax_kernel_factory(out_dim: int, masked: bool, semantics: str, p_dtype):
+    """Output layer + FULL softmax in one kernel pass.
+
+    The whole [K, N] output weight matrix stays VMEM-resident (the 16 MB
+    scoped-VMEM default is a soft limit; we raise it) and the grid walks
+    frame blocks only, so each step sees a complete logits row block:
+    softmax needs no online stats, no side channels, no epilogue — the
+    kernel writes exactly [B, out_dim] posteriors (a full-block unaligned
+    last dim is legal in Mosaic), which also kills the XLA padding-slice.
+    """
+
+    def kernel(*refs):
+        if masked:
+            x_ref, w_ref, colsum_ref, bias_ref, inv_ref, mask_ref, p_ref = refs
+        else:
+            x_ref, w_ref, colsum_ref, bias_ref, inv_ref, p_ref = refs
+        acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+        z = (acc + colsum_ref[:]).astype(jnp.float32) * inv_ref[0, 0] + bias_ref[:]
+        NEG_CAP = jnp.float32(-1e30)
+        if masked:
+            if semantics == "reference":
+                # inactive senones keep logit 0 (dnn.cc:369-389)
+                z = jnp.where(mask_ref[:] != 0, z, 0.0)
+            else:
+                z = jnp.where(mask_ref[:] != 0, z, NEG_CAP)
+        # MXU padding columns never contribute
+        col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+        z = jnp.where(col < out_dim, z, NEG_CAP)
+        m = jnp.max(z, axis=1, keepdims=True)
+        e = jnp.exp(z - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        p_ref[:] = p[:, :out_dim].astype(p_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dim", "semantics", "block_frames", "interpret", "fast"),
+)
+def output_layer_posteriors_resident(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    masks: jax.Array | None = None,
+    *,
+    out_dim: int,
+    semantics: str = "reference",
+    block_frames: int = 256,
+    interpret: bool = False,
+    fast: bool = False,
+) -> jax.Array:
+    """Fused output layer + softmax, weights resident -> [B, out_dim].
+
+    VMEM per step: K x N int8 weights (e.g. 16.8 MB for 2048x8192) + two
+    f32 [bm, N] working sets; the call raises the scoped-VMEM limit
+    accordingly.  `fast=True` emits bfloat16 posteriors.
+    """
+    b, k = acts_i8.shape
+    n = w_i8.shape[1]
+    bm = min(block_frames, b)
+    while b % bm:
+        bm //= 2
+    _check_shapes(acts_i8, w_i8, colsum128_i32, bias_f32, bm, n)
+    if masks is not None and masks.shape != (b, n):
+        raise ValueError(f"masks must be [{b}, {n}], got {masks.shape}")
+    masked = masks is not None
+    p_dtype = jnp.bfloat16 if fast else jnp.float32
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [
+        acts_i8,
+        w_i8,
+        colsum128_i32.reshape(1, n),
+        bias_f32.reshape(1, n),
+        jnp.asarray(inv_scale_f32, jnp.float32).reshape(1, 1),
+    ]
+    if masked:
+        in_specs.append(pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM))
+        args.append(masks)
+    # weights + double-buffered activations/posteriors/mask blocks + slack
+    vmem_budget = (
+        k * n
+        + 2 * (bm * k)
+        + 2 * 4 * (bm * n)  # z working set + p block (f32)
+        + (2 * bm * n if masked else 0)
+        + (1 << 22)
+    )
+    return pl.pallas_call(
+        _resident_softmax_kernel_factory(out_dim, masked, semantics, p_dtype),
+        grid=(b // bm,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, out_dim), p_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_budget * 1.25), 100 * 1024 * 1024)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * k,
+            bytes_accessed=b * k + k * n + 4 * b * out_dim,
+            transcendentals=b * n,
+        ),
+        interpret=interpret,
+    )(*args)
 
 
 def _stats_kernel_factory(

@@ -191,6 +191,7 @@ def test_fused_softmax_chunks_large_batches(rng, monkeypatch):
     from fastdnn_tpu.quant.quantize import pad_qnet_for_tpu, quantize_net
 
     monkeypatch.setattr(sc, "MAX_FUSED_SOFTMAX_FRAMES", 128)
+    monkeypatch.setattr(sc, "RESIDENT_OUTPUT_MAX_BYTES", 0)  # force stats path
     net = random_net(jax.random.PRNGKey(0), 40, [64, 64], 100)
     qnet = pad_qnet_for_tpu(quantize_net(net))
     x = jnp.asarray(rng.standard_normal((384, 40)).astype(np.float32))
@@ -204,3 +205,45 @@ def test_fused_softmax_chunks_large_batches(rng, monkeypatch):
     mf = sc.score_masked_fn(qnet, xp, masks, fused_softmax=True, **kw)
     mp = sc.score_masked_fn(qnet, xp, masks, fused_softmax=False, **kw)
     np.testing.assert_allclose(np.asarray(mf), np.asarray(mp), atol=1e-6)
+
+
+class TestResidentPosteriors:
+    """output_layer_posteriors_resident: whole weights in VMEM, softmax in
+    one pass, output written at the true (unaligned) senone count."""
+
+    def test_matches_stats_kernel_and_xla(self, rng):
+        args = rand_layer(rng, 256, 256, 640)
+        res = pk.output_layer_posteriors_resident(*args, out_dim=600, interpret=True)
+        stats = pk.output_layer_posteriors(*args, out_dim=600, interpret=True)
+        ref = jax.nn.softmax(xops.output_logits(*args)[:, :600], axis=-1)
+        assert res.shape == (256, 600)
+        np.testing.assert_allclose(np.asarray(res), np.asarray(ref), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res), np.asarray(stats), rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("semantics", ["reference", "active_only"])
+    def test_masked(self, rng, semantics):
+        args = rand_layer(rng, 128, 256, 640)
+        masks = (rng.random((128, 640)) < 0.4).astype(np.uint8)
+        masks[:, 600:] = 0
+        ours = pk.output_layer_posteriors_resident(
+            *args, jnp.asarray(masks), out_dim=600, semantics=semantics, interpret=True
+        )
+        logits = xops.output_logits(*args)[:, :600]
+        mb = jnp.asarray(masks[:, :600] != 0)
+        ref = (
+            xops.masked_softmax_reference(logits, mb)
+            if semantics == "reference"
+            else xops.masked_softmax_active_only(logits, mb)
+        )
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    def test_fast_bf16(self, rng):
+        args = rand_layer(rng, 128, 256, 640)
+        fast = pk.output_layer_posteriors_resident(
+            *args, out_dim=600, interpret=True, fast=True
+        )
+        assert fast.dtype == jnp.bfloat16
+        full = pk.output_layer_posteriors_resident(*args, out_dim=600, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(fast, np.float32), np.asarray(full), rtol=2e-2, atol=1e-3
+        )
