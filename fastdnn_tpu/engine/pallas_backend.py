@@ -92,14 +92,19 @@ def hidden_stack_step(
     hstack,
     *,
     interpret: bool = False,
+    resident: bool = False,
 ) -> jax.Array:
     """All hidden layers in one kernel (small-batch latency path).
 
     hstack = (w_stack, colsum_stack, inv_scales, bias_stack) as built by
-    engine.scorer.build_hidden_stack.
+    engine.scorer.build_hidden_stack.  `resident=True` keeps the whole
+    weight stack in VMEM (experimental: measured neutral vs streaming on
+    v5e at batch; exposed for other chips/topologies).
     """
     w, cs, inv, bias = hstack
-    return pk.fused_hidden_stack(acts_i8, w, cs, inv, bias, interpret=interpret)
+    return pk.fused_hidden_stack(
+        acts_i8, w, cs, inv, bias, interpret=interpret, resident=resident
+    )
 
 
 def output_posteriors_resident(

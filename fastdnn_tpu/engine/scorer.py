@@ -153,7 +153,13 @@ def _fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, fast, 
     from . import pallas_backend
 
     k, n = net.weights[-1].shape
-    if k * n <= RESIDENT_OUTPUT_MAX_BYTES:
+    bm = out_blocks[0] if out_blocks is not None else 256
+    # mirror the kernel's own VMEM budget (weights + double-buffered
+    # activation/posterior/mask blocks + slack, x1.25): if it would not fit
+    # under the 100 MB clamp the kernel requests, use the stats fallback
+    # instead of tripping a Mosaic scoped-vmem compile error
+    working_set = k * n + 2 * bm * k + 8 * bm * n + 2 * bm * n + (1 << 22)
+    if k * n <= RESIDENT_OUTPUT_MAX_BYTES and working_set * 1.25 <= 100 * 1024 * 1024:
         return pallas_backend.output_posteriors_resident(
             acts,
             net.weights[-1],
@@ -356,10 +362,8 @@ class Scorer:
         self._masked_from_acts = jax.jit(
             functools.partial(self._masked_from_acts_fn, **kw, semantics=self.config.lazy_semantics)
         )
-        from ..utils.align import aligned_size as _asz
-
         self._gather_capacity = min(
-            _asz(max(int(self._output_dim * self.config.lazy_capacity), 1), 128),
+            aligned_size(max(int(self._output_dim * self.config.lazy_capacity), 1), 128),
             self._output_dim,
         )
         from . import lazy as _lazy
@@ -478,6 +482,9 @@ class Scorer:
         mode = self.config.lazy_mode
         if mode == "dense":
             return False
+        if mode == "auto" and n_frames > self.config.lazy_gather_max_frames:
+            # cheap reject before the O(frames x senones) union scan
+            return False
         union = int(masks.any(axis=0).sum())
         if union > self._gather_capacity:
             if mode == "gathered":
@@ -487,9 +494,7 @@ class Scorer:
                     "use lazy_mode='dense'"
                 )
             return False
-        if mode == "gathered":
-            return True
-        return n_frames <= self.config.lazy_gather_max_frames
+        return True
 
     def score_utterances(self, utterances):
         """Score many utterances in one device pass.

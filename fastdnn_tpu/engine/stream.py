@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import List, Optional, Sequence, Tuple
 
@@ -185,11 +186,10 @@ class StreamingScorer:
             try:
                 if group[0].masks is not None:
                     masks = np.concatenate([it.masks for it in group], axis=0)
-                    out = self._scorer.score_masked(frames, masks)
+                    out = self._dispatch_masked(frames, masks)
                 else:
-                    # score() returns numpy (sync); device-level pipelining
-                    # happens inside jax dispatch — but materialize AFTER
-                    # assembling the next batch by deferring np conversion:
+                    # async dispatch; materialize AFTER assembling the next
+                    # batch by deferring the np conversion to _resolve
                     out = self._dispatch(frames)
             except Exception as e:  # propagate to every waiter in the group
                 for it in group:
@@ -211,19 +211,44 @@ class StreamingScorer:
         out = self._scorer._score(self._scorer.net, padded)
         return (out, n)
 
+    def _dispatch_masked(self, frames: np.ndarray, masks: np.ndarray):
+        """Async masked dispatch (dense path); gathered path stays sync
+        (its index-building is host-side anyway)."""
+        sc = self._scorer
+        masks = (masks != 0).astype(np.uint8)
+        if sc._use_gathered(frames.shape[0], masks):
+            return sc.score_masked(frames, masks)
+        padded, n = sc._prepare(frames)
+        masks_p = np.zeros((padded.shape[0], sc.output_dim), np.uint8)
+        masks_p[:n] = masks
+        import jax.numpy as jnp
+
+        out = sc._score_masked(sc.net, padded, jnp.asarray(masks_p))
+        return (out, n)
+
     def _resolve(self, group, counts, out) -> None:
-        if isinstance(out, tuple):
-            dev, n = out
-            arr = np.asarray(dev[:n], dtype=np.float32)
-        else:
-            arr = out
+        """Materialize one batch's result and settle its futures.
+
+        Materialization can raise (device errors are deferred to the first
+        np.asarray), and a waiter may have cancelled its future — neither
+        may kill the worker thread, which all other futures depend on."""
+        try:
+            if isinstance(out, tuple):
+                dev, n = out
+                arr = np.asarray(dev[:n], dtype=np.float32)
+            else:
+                arr = out
+        except Exception as e:
+            for it in group:
+                if not it.future.cancelled():
+                    it.future.set_exception(e)
+            return
         self.throughput.add(int(sum(counts)))
         offsets = np.cumsum([0] + list(counts))
         for it, a, b in zip(group, offsets[:-1], offsets[1:]):
-            it.future.set_result(arr[a:b])
+            if not it.future.cancelled():
+                it.future.set_result(arr[a:b])
 
 
 def _now() -> float:
-    import time
-
     return time.perf_counter()

@@ -91,12 +91,14 @@ def masked_softmax_reference(logits, mask_bool):
 
 def masked_softmax_active_only(logits, mask_bool):
     """Softmax renormalized over active senones only (documented divergence
-    option; inactive posteriors are exactly 0)."""
+    option; inactive posteriors are exactly 0).  A fully-masked frame
+    yields an all-zero row (not NaN), matching the fused kernels."""
     neg = jnp.finfo(logits.dtype).min
     z = jnp.where(mask_bool, logits, neg)
     m = jnp.max(z, axis=-1, keepdims=True)
     e = jnp.where(mask_bool, jnp.exp(z - m), 0.0)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.maximum(s, jnp.finfo(logits.dtype).tiny)
 
 
 def masked_output_step(

@@ -277,6 +277,9 @@ def _resident_softmax_kernel_factory(out_dim: int, masked: bool, semantics: str,
         m = jnp.max(z, axis=1, keepdims=True)
         e = jnp.exp(z - m)
         p = e / jnp.sum(e, axis=1, keepdims=True)
+        # a fully-masked active_only row has every z at NEG_CAP and would
+        # come out uniform; emit zeros instead (matches the XLA path)
+        p = jnp.where(m > jnp.float32(-1e29), p, 0.0)
         p_ref[:] = p[:, :out_dim].astype(p_dtype)
 
     return kernel
@@ -564,6 +567,8 @@ def output_layer_posteriors(
     else:
         z, m, s = outs
         p = jnp.exp(z[:, :out_dim] - m[:, :1]) / s[:, :1]
+    # fully-masked active_only rows (running max still at the cap) -> zeros
+    p = jnp.where(m[:, :1] > -1e29, p, 0.0)
     return p.astype(z_dtype)
 
 

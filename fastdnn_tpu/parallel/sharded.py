@@ -108,13 +108,34 @@ def make_gspmd_scorer(
 # Explicit shard_map path
 # ---------------------------------------------------------------------------
 
-def _sharded_softmax(z_local: jax.Array) -> jax.Array:
+def _valid_cols(n_local: int, out_dim: int | None):
+    """Per-shard boolean [1, n_local]: True where the global column index is
+    a real senone, False on MXU padding columns (pad_qnet_for_tpu) — those
+    must not join the softmax max/denominator (score_fn slices them off in
+    the single-device engine; here they live on the last shard)."""
+    if out_dim is None:
+        return None
+    shard = jax.lax.axis_index(MODEL_AXIS)
+    col = shard * n_local + jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)
+    return col < out_dim
+
+
+def _sharded_softmax(z_local: jax.Array, valid=None) -> jax.Array:
     """Exact softmax over an output axis sharded on MODEL_AXIS."""
+    NEG = jnp.float32(-1e30)
+    if valid is not None:
+        z_local = jnp.where(valid, z_local, NEG)
     m_local = jnp.max(z_local, axis=-1, keepdims=True)
     m = jax.lax.pmax(m_local, MODEL_AXIS)
     e = jnp.exp(z_local - m)
+    if valid is not None:
+        e = jnp.where(valid, e, 0.0)
     s = jax.lax.psum(jnp.sum(e, axis=-1, keepdims=True), MODEL_AXIS)
     return e / s
+
+
+#: jitted shard_map programs, keyed on everything that changes the trace
+_SHARD_MAP_CACHE: dict = {}
 
 
 def score_shard_map(
@@ -126,11 +147,14 @@ def score_shard_map(
     backend: str = "xla",
     interpret: bool = False,
     semantics: str = "reference",
+    out_dim: Optional[int] = None,
 ) -> jax.Array:
     """Explicit-collective scoring.  frames [B, in] with B divisible by the
     data axis; output dim must be divisible by the model axis (pad the net
-    with pad_qnet_for_tpu(lanes=128*model) if needed).  Returns posteriors
-    [B, out] sharded (data, model).
+    with pad_qnet_for_tpu(lanes=128*model) if needed, and pass the TRUE
+    senone count as out_dim so padding columns stay out of the softmax).
+    Returns posteriors [B, out_padded] sharded (data, model); columns at or
+    beyond out_dim are exactly 0.
     """
     n_layers = len(qnet.weights)
     net_spec = QuantizedNet(
@@ -151,23 +175,40 @@ def score_shard_map(
     def body(net, local_frames, *rest):
         acts = hidden_forward(net, local_frames, backend, interpret)
         z = output_logits(net, acts, backend, interpret)
+        valid = _valid_cols(z.shape[-1], out_dim)
         if rest:
             mask_bool = rest[0] != 0
+            if valid is not None:
+                mask_bool = mask_bool & valid
             if semantics == "reference":
                 z = jnp.where(mask_bool, z, 0.0)
-                return _sharded_softmax(z)
-            neg = jnp.finfo(z.dtype).min
+                return _sharded_softmax(z, valid)
+            neg = jnp.float32(-1e30)
             zm = jnp.where(mask_bool, z, neg)
             m = jax.lax.pmax(jnp.max(zm, axis=-1, keepdims=True), MODEL_AXIS)
             e = jnp.where(mask_bool, jnp.exp(zm - m), 0.0)
             s = jax.lax.psum(jnp.sum(e, axis=-1, keepdims=True), MODEL_AXIS)
             return e / s
-        return _sharded_softmax(z)
+        return _sharded_softmax(z, valid)
 
-    f = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=tuple(in_specs),
-        out_specs=P(DATA_AXIS, MODEL_AXIS),
+    key = (
+        mesh,
+        n_layers,
+        tuple(w.shape for w in qnet.weights),
+        frames.shape,
+        masks is not None,
+        backend,
+        interpret,
+        semantics,
+        out_dim,
     )
-    return jax.jit(f)(*args)
+    if key not in _SHARD_MAP_CACHE:
+        _SHARD_MAP_CACHE[key] = jax.jit(
+            shard_map(
+                body,
+                mesh=mesh,
+                in_specs=tuple(in_specs),
+                out_specs=P(DATA_AXIS, MODEL_AXIS),
+            )
+        )
+    return _SHARD_MAP_CACHE[key](*args)

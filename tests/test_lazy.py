@@ -99,3 +99,27 @@ class TestGatheredVsDense:
         for i in range(4):
             vals = out[i][masks[i] == 0]
             np.testing.assert_allclose(vals, vals[0], rtol=1e-5)
+
+
+def test_fully_masked_frame_active_only_yields_zeros(qnet, features_16khz):
+    """A frame whose mask has no active senones gets all-zero posteriors
+    under active_only semantics — identically on the XLA path and both
+    fused kernels (was NaN on XLA vs uniform on the fused path)."""
+    import numpy as np
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+
+    frames = features_16khz[:4]
+    masks = np.ones((4, qnet.output_dim), np.uint8)
+    masks[2] = 0  # one dead frame
+    for cfg in (
+        EngineConfig(backend="xla", lazy_semantics="active_only", lazy_mode="dense"),
+        EngineConfig(
+            backend="pallas", interpret=True, lazy_semantics="active_only", lazy_mode="dense"
+        ),
+    ):
+        out = Scorer(qnet, cfg).score_masked(frames, masks)
+        assert np.isfinite(out).all()
+        np.testing.assert_array_equal(out[2], 0.0)
+        np.testing.assert_allclose(out[[0, 1, 3]].sum(-1), 1.0, rtol=1e-4)

@@ -105,3 +105,29 @@ class TestShardMap:
         ref = sc.score_masked(np.asarray(frames), masks)
         np.testing.assert_allclose(out, ref, atol=2e-5)
         assert np.all(out[masks == 0] == 0.0)
+
+
+def test_shard_map_excludes_mxu_padding_from_softmax(small_net):
+    """With a pad_qnet_for_tpu-padded net (senone count not divisible by
+    the model axis), score_shard_map must keep the zero-logit padding
+    columns out of the softmax denominator and zero them in the output."""
+    import jax
+    import numpy as np
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.parallel.mesh import make_mesh
+    from fastdnn_tpu.parallel.sharded import score_shard_map
+    from fastdnn_tpu.quant.quantize import pad_qnet_for_tpu, quantize_net
+
+    qnet = quantize_net(small_net)  # 400 outputs
+    padded = pad_qnet_for_tpu(qnet, out_lanes=256)  # -> 512, 112 pad columns
+    mesh = make_mesh(model=2)
+    frames = np.random.default_rng(0).standard_normal((16, qnet.input_dim)).astype(np.float32)
+    fp = jax.numpy.pad(
+        jax.numpy.asarray(frames), ((0, 0), (0, padded.input_dim - qnet.input_dim))
+    )
+    out = np.asarray(score_shard_map(padded, fp, mesh, out_dim=qnet.output_dim))
+    expected = Scorer(qnet, EngineConfig(backend="xla")).score(frames)
+    np.testing.assert_array_equal(out[:, qnet.output_dim :], 0.0)
+    np.testing.assert_allclose(out[:, : qnet.output_dim], expected, atol=1e-5)
