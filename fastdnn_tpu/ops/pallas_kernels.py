@@ -1,25 +1,36 @@
 """Pallas TPU kernels: the hot path of the quantized engine.
 
-Two kernels replace the reference's entire per-layer loop nest
+These kernels replace the reference's entire per-layer loop nest
 (quantizedNodeSum x nodes x frames, /root/reference/src/cpp/dnn.cc:289-349):
 
   * `fused_hidden_layer` — one MXU pass per hidden layer computing
       s8xs8 matmul -> +colsum128 zero-point fix -> *inv_scale -> +bias
       -> quantized sigmoid -> shifted int8
     in VMEM, so the only HBM traffic per layer is int8 in, int8 weights,
-    int8 out.  This fuses reference components #1, #2, #5, #6 (SURVEY.md §2)
-    into a single kernel.
+    int8 out.  Fuses reference components #1, #2, #5, #6 (SURVEY.md §2).
 
-  * `output_layer_logits` — same matmul with a float epilogue producing
-    pre-softmax logits (components #1, #2, #5 on the output layer,
-    dnn.cc:428-449).  Softmax (and lazy masking) stays in XLA where it fuses
-    with whatever consumes the logits.
+  * `fused_hidden_stack` — ALL equal-width hidden layers in one kernel,
+    activations VMEM-resident between layers; the engine's small-batch
+    latency path (dispatches and weight streaming collapse).
 
-Both expect MXU-padded operands: frame count a multiple of the frame block,
-all node dims multiples of 128 (see quant.quantize.pad_qnet_for_tpu).  The
-grid iterates frames-fastest so a weight block is loaded once and reused
-across every frame block (the reference's batch_size cache-blocking insight,
-dnn.cc:301-317, transposed to VMEM).
+  * `output_layer_posteriors_resident` — the engine's primary output path:
+    whole output weight matrix VMEM-resident (the 16 MB scoped-VMEM limit
+    is soft), full softmax computed in-kernel per frame block, posteriors
+    written at the true unaligned senone count.  Replaces components #1,
+    #2, #5, #10, #11 with one kernel launch.
+
+  * `output_layer_posteriors` — fallback for output layers too large for
+    VMEM residency: node-blocked matmul accumulating flash-softmax stats
+    in a persistent scratch, plus a single-read XLA normalize.
+
+  * `output_layer_logits` — pre-softmax logits for the plain
+    (fused_softmax=False) path and the gathered lazy path.
+
+All expect MXU-padded operands: frame count a multiple of 32, node dims
+multiples of 128 (see quant.quantize.pad_qnet_for_tpu).  Grids iterate
+frames-fastest so weight blocks are loaded once and reused across frame
+blocks (the reference's batch_size cache-blocking insight, dnn.cc:301-317,
+transposed to VMEM).
 """
 
 from __future__ import annotations
