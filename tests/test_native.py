@@ -131,3 +131,56 @@ class TestNativeTextFeatures:
 
         feats = load_features_text(os.path.join(DATA, "16khz"))
         assert next(iter(feats.values())).shape == (193, 429)
+
+
+DATA_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestNativeCli:
+    """The native fastdnn-io executable (make -C native) — the host-side
+    analog of the reference's native CLI (dnn.cc:20-84)."""
+
+    @pytest.fixture(scope="class")
+    def cli(self):
+        import subprocess
+
+        path = os.path.join(DATA_REPO, "native", "fastdnn-io")
+        if not os.path.exists(path):
+            r = subprocess.run(["make", "-C", os.path.join(DATA_REPO, "native")],
+                               capture_output=True)
+            if r.returncode != 0 or not os.path.exists(path):
+                pytest.skip("native CLI not built")
+        return path
+
+    def test_info_and_finfo(self, cli):
+        import subprocess
+
+        golden = os.path.join(DATA_REPO, "tests", "golden", "parity_model.bin")
+        out = subprocess.run([cli, "info", golden], capture_output=True, text=True)
+        assert out.returncode == 0
+        assert "topology= 432-64-64-64-100" in out.stdout
+        out = subprocess.run([cli, "finfo", os.path.join(DATA, "8khz.aligned.bin")],
+                             capture_output=True, text=True)
+        assert "frames = 389" in out.stdout and "dim    = 432" in out.stdout
+
+    def test_text2bin_matches_python(self, cli, tmp_path):
+        import subprocess
+
+        from fastdnn_tpu.formats.binary import read_features
+        from fastdnn_tpu.formats.kaldi_text import first_utterance
+
+        out_bin = tmp_path / "16khz.bin"
+        r = subprocess.run([cli, "text2bin", os.path.join(DATA, "16khz"), str(out_bin)],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        got = read_features(out_bin)
+        ref = first_utterance(os.path.join(DATA, "16khz")).astype(np.float32)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_bad_usage(self, cli):
+        import subprocess
+
+        r = subprocess.run([cli], capture_output=True, text=True)
+        assert r.returncode == 1 and "usage" in r.stderr
+        r = subprocess.run([cli, "info", "/nonexistent"], capture_output=True, text=True)
+        assert r.returncode == 2 and "error" in r.stderr
