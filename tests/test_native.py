@@ -17,6 +17,8 @@ DATA = "/root/reference/data"
 def native():
     from fastdnn_tpu.formats import native as nat
 
+    if os.environ.get("FASTDNN_NATIVE", "1") == "0":
+        pytest.skip("native IO disabled via FASTDNN_NATIVE=0")
     if not nat.available():
         if shutil.which("g++") is None or shutil.which("make") is None:
             pytest.skip("no native toolchain")
