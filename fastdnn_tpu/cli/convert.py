@@ -78,7 +78,11 @@ def main(argv=None) -> int:
     else:
         feats = load_features_text(args.input)
         if args.utterance is not None:
-            data = feats[args.utterance]
+            data = feats.get(args.utterance)
+            if data is None:
+                raise ValueError(
+                    f"utterance {args.utterance!r} not found; available: {list(feats)}"
+                )
         else:
             data = next(iter(feats.values()))
         if args.align_dim:

@@ -74,6 +74,11 @@ def generate_masks(rng, count, dim, density, churn_frac=0.03):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    if args.text_input and (args.mask_density is not None or args.iterations != 1):
+        raise ValueError(
+            "--text-input scores all utterances in one pass and does not "
+            "combine with --mask-density or --iterations"
+        )
     raw = read_model(args.model)
     print(f"Model File  = {args.model}")
     print(f"Network     = {raw.topology()}")
@@ -94,11 +99,9 @@ def main(argv=None) -> int:
     scorer = Scorer(qnet, EngineConfig(backend=args.backend))
 
     if utts is not None:
-        import time as _time
-
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         scored = scorer.score_utterances(utts)
-        print(f"Dnn calculation time = {(_time.perf_counter() - t0) * 1000:.2f} ms.")
+        print(f"Dnn calculation time = {(time.perf_counter() - t0) * 1000:.2f} ms.")
         from ..formats.kaldi_text import write_features_text_kaldi
 
         write_features_text_kaldi(scored, args.out if args.out else sys.stdout)

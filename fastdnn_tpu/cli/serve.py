@@ -72,6 +72,11 @@ class _Handler(socketserver.BaseRequestHandler):
                 _send_err(sock, "bad magic")
                 return
             op = head[4]
+            if op not in (OP_SCORE, OP_SCORE_MASKED, OP_STATS):
+                # reject BEFORE reading a body the op doesn't define —
+                # otherwise the handler blocks waiting for phantom payload
+                _send_err(sock, f"unknown op {op}")
+                continue
             try:
                 if op == OP_STATS:
                     tp = server.stream.throughput
@@ -86,20 +91,20 @@ class _Handler(socketserver.BaseRequestHandler):
                     continue
                 n, dim = struct.unpack("<II", _recv_exact(sock, 8))
                 if n == 0 or dim == 0 or n * dim > 1 << 28:
+                    # the declared payload length is untrustworthy, so the
+                    # stream cannot be resynced — error out and drop the
+                    # connection rather than misparse what follows
                     _send_err(sock, f"bad frame count/dim {n}x{dim}")
-                    continue
+                    return
                 frames = np.frombuffer(
                     _recv_exact(sock, 4 * n * dim), dtype="<f4"
                 ).reshape(n, dim)
                 masks = None
                 if op == OP_SCORE_MASKED:
-                    out_dim = server.stream._scorer.output_dim
+                    out_dim = server.stream.output_dim
                     masks = np.frombuffer(
                         _recv_exact(sock, n * out_dim), dtype=np.uint8
                     ).reshape(n, out_dim)
-                elif op != OP_SCORE:
-                    _send_err(sock, f"unknown op {op}")
-                    continue
                 fut = server.stream.submit(frames, masks)
                 _send_ok(sock, fut.result())
             except (ConnectionError, BrokenPipeError):

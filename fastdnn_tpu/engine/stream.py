@@ -85,6 +85,11 @@ class StreamingScorer:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
+    @property
+    def output_dim(self) -> int:
+        """Senone count of the wrapped engine (wire-protocol mask width)."""
+        return self._scorer.output_dim
+
     # -- producer side -------------------------------------------------------
 
     def submit(self, frames, masks=None) -> "Future[np.ndarray]":
@@ -105,9 +110,9 @@ class StreamingScorer:
             )
         if masks is not None:
             masks = (np.asarray(masks) != 0).astype(np.uint8)
-            if masks.shape != (frames.shape[0], self._scorer.output_dim):
+            if masks.shape != (frames.shape[0], self.output_dim):
                 raise ValueError(
-                    f"masks must be [{frames.shape[0]}, {self._scorer.output_dim}]"
+                    f"masks must be [{frames.shape[0]}, {self.output_dim}]"
                 )
         fut: "Future[np.ndarray]" = Future()
         self._q.put(_Item(frames, masks, fut))

@@ -233,7 +233,7 @@ def write_features_text(data: np.ndarray, f: PathOrFile) -> None:
     """
     lines = "\n".join(" ".join(repr(float(v)) for v in row) for row in np.asarray(data))
     if hasattr(f, "write"):
-        f.write(lines.encode())
+        f.write(lines)  # text-mode file objects (sys.stdout, StringIO)
     else:
         with open(f, "w") as fh:
             fh.write(lines)

@@ -97,7 +97,9 @@ def quantize_layer(w: jax.Array, cutoff: float):
     # quantizes it to zeros; guard the division so it doesn't produce
     # inf/NaN (the reference would divide by zero here, dnn.cc:479)
     absmax = jnp.where(absmax == 0, 1.0, absmax)
-    multiplier = _round_half_away(WEIGHT_SCALE / absmax)
+    # floor at 1: with a huge cutoff and absmax > 254, round(127/absmax)
+    # would hit 0 and poison inv_scale (1/(0*255) = inf -> NaN posteriors)
+    multiplier = jnp.maximum(_round_half_away(WEIGHT_SCALE / absmax), 1.0)
     w_q = jnp.clip(_round_half_away(clamped * multiplier), -128, 127)
     return w_q.astype(jnp.int8), multiplier.astype(jnp.float32)
 

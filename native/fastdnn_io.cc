@@ -31,7 +31,9 @@ char* slurp(const char* path, int64_t* size_out) {
   std::fseek(f, 0, SEEK_END);
   const long size = std::ftell(f);
   std::rewind(f);
-  char* buf = static_cast<char*>(std::malloc(size));
+  // +1 NUL terminator: the text parser tokenizes with strtof, which must
+  // never scan past the buffer on files that end mid-number
+  char* buf = static_cast<char*>(std::malloc(static_cast<size_t>(size) + 1));
   if (!buf) {
     std::fclose(f);
     return nullptr;
@@ -42,6 +44,7 @@ char* slurp(const char* path, int64_t* size_out) {
     std::free(buf);
     return nullptr;
   }
+  buf[size] = '\0';
   *size_out = size;
   return buf;
 }

@@ -186,3 +186,12 @@ class TestNativeCli:
         assert r.returncode == 1 and "usage" in r.stderr
         r = subprocess.run([cli, "info", "/nonexistent"], capture_output=True, text=True)
         assert r.returncode == 2 and "error" in r.stderr
+
+
+def test_text_parser_truncated_mid_number(native, tmp_path):
+    """A file ending mid-number (no ], no newline) must fail cleanly — the
+    parser buffer is NUL-terminated so strtof cannot scan off the end."""
+    p = tmp_path / "trunc.txt"
+    p.write_bytes(b"u [\n 1.0 2.5")
+    with pytest.raises(ValueError):
+        native.read_features_text(p)

@@ -163,3 +163,61 @@ def test_serve_rejects_zero_dim(small_net, tmp_path):
     finally:
         srv.shutdown()
         srv.stream.close()
+
+
+def test_huge_cutoff_keeps_multiplier_finite(rng):
+    """cutoff >> absmax used to round the multiplier to 0 -> inf inv_scale
+    -> NaN posteriors; the multiplier now floors at 1."""
+    import jax
+
+    from fastdnn_tpu.models.feedforward import random_net
+
+    net = random_net(jax.random.PRNGKey(0), 16, [32], 20)
+    big = tuple(w * 300.0 for w in net.weights)  # absmax >> 254
+    net = type(net)(weights=big, biases=net.biases, shift=net.shift, scale=net.scale)
+    qnet = quantize_net(net, cutoff=1000.0)
+    assert all(float(m) >= 1.0 for m in qnet.multipliers)
+    out = Scorer(qnet, EngineConfig(backend="xla")).score(
+        rng.standard_normal((4, 16)).astype(np.float32)
+    )
+    assert np.isfinite(out).all()
+
+
+def test_serve_unknown_op_no_hang(small_net, tmp_path):
+    """An unknown op used to make the handler block reading a phantom body;
+    it must answer immediately and keep the connection usable."""
+    import socket
+    import struct
+
+    from fastdnn_tpu.cli.serve import MAGIC, ScoreClient, make_server
+    from fastdnn_tpu.formats.binary import write_model
+    from fastdnn_tpu.models.feedforward import to_raw
+
+    model_path = tmp_path / "m.bin"
+    write_model(to_raw(small_net), model_path)
+
+    class A:
+        model = str(model_path)
+        host, port = "127.0.0.1", 0
+        cutoff, backend = 3.0, "xla"
+        max_batch_frames, max_wait_ms = 64, 1.0
+
+    srv = make_server(A)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = socket.create_connection(srv.server_address[:2], timeout=10)
+        s.sendall(MAGIC + struct.pack("<B", 9))  # no body follows
+        s.settimeout(10)
+        assert s.recv(1)[0] == 1
+        (ln,) = struct.unpack("<I", s.recv(4))
+        assert b"unknown op" in s.recv(ln)
+        s.close()
+        # connection pool still healthy for real clients
+        c = ScoreClient(*srv.server_address[:2])
+        out = c.score(np.zeros((2, small_net.input_dim), np.float32))
+        assert out.shape[0] == 2
+        c.close()
+    finally:
+        srv.shutdown()
+        srv.stream.close()
