@@ -79,10 +79,13 @@ class EngineConfig:
     #: scratch's scoped-VMEM cap) run as row-chunked fused calls — softmax
     #: is per-row, so chunking is exact.
     fused_softmax: bool = True
-    #: store output logits + posteriors as bfloat16 in the fused-softmax
-    #: kernel, halving output-stage HBM traffic.  Softmax stats stay f32;
-    #: per-logit bf16 rounding bounds the posterior error at ~0.2% x |logit|
-    #: (relative) — fine for ASR decoding, off by default for bit-parity.
+    #: emit posteriors as bfloat16.  With the resident output kernel the
+    #: posterior write already overlaps the matmul, so on-device time is
+    #: unchanged — the win is halved device->host transfer and consumer
+    #: bandwidth for decoders that accept bf16 scores.  (On the stats-kernel
+    #: fallback it also halves the logits-buffer traffic.)  Error is bf16
+    #: rounding concentrated away from the softmax mass; off by default for
+    #: bit-parity.
     fast_posteriors: bool = False
     #: frame-count threshold at or below which ALL hidden layers run as one
     #: Pallas kernel (fused_hidden_stack): at small batch the weight stack
