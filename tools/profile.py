@@ -11,15 +11,24 @@ Rules that make numbers trustworthy here:
     some XLA scheduling; use unrolled chains for absolute numbers.
 
 Usage:
+    python tools/profile.py trace      # GROUND TRUTH: device-trace the full
+                                       # pass and print per-kernel times
     python tools/profile.py variants   # full-net: plain/fused/fast x precision
     python tools/profile.py stages     # per-stage: input / hidden / output
     python tools/profile.py dots       # raw s8xs8 vs bf16 matmul rate
+
+`trace` is the instrument of record: jax.profiler works through the relay
+and its per-kernel device times are exact.  The wall-clock subcommands
+remain for quick relative checks only.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -202,6 +211,48 @@ def cmd_dots():
     print(f"xla bf16->f32  {t*1e3:7.3f} ms  {fl/t/1e12:6.1f} T", flush=True)
 
 
+def cmd_trace():
+    import collections
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    net = random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
+    sc = Scorer(quantize_net(net), EngineConfig(backend="pallas"))
+    frames = np.random.default_rng(0).standard_normal((B, 432)).astype(np.float32)
+    padded, _ = sc._prepare(frames)
+    jax.block_until_ready(sc._score(sc.net, padded))  # compile
+    reps = 3
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(reps):
+                jax.block_until_ready(sc._score(sc.net, padded))
+        path = sorted(glob.glob(f"{td}/plugins/profile/*/*.trace.json.gz"))[-1]
+        durs = collections.defaultdict(float)
+        with gzip.open(path) as fh:
+            for e in json.load(fh).get("traceEvents", []):
+                if e.get("ph") == "X" and "dur" in e and not e["name"].startswith("$"):
+                    durs[e["name"]] += e["dur"]
+    total = None
+    print(f"flagship full pass, batch {B} (ms per call, device time):")
+    for name, us in sorted(durs.items(), key=lambda kv: -kv[1]):
+        ms = us / (reps * 1e3)
+        if name.startswith("jit_"):
+            total = ms
+        if ms > 0.005 and not name.startswith(("PjitFunction", "PythonRef", "Parse")):
+            print(f"  {ms:8.3f} ms  {name}")
+    if total:
+        fps = B / (total / 1e3)
+        print(f"total {total:.3f} ms -> {fps:,.0f} frames/s = "
+              f"{fps/100:,.0f} audio-s/s device-side")
+
+
 if __name__ == "__main__":
-    what = sys.argv[1] if len(sys.argv) > 1 else "variants"
-    {"variants": cmd_variants, "stages": cmd_stages, "dots": cmd_dots}[what]()
+    what = sys.argv[1] if len(sys.argv) > 1 else "trace"
+    {"trace": cmd_trace, "variants": cmd_variants, "stages": cmd_stages, "dots": cmd_dots}[what]()
