@@ -51,7 +51,10 @@ def test_random_topologies_end_to_end(rng, trial):
     px = sx.score(frames)
     pp = sp.score(frames)
     assert px.shape == (n_frames, net.output_dim)
-    np.testing.assert_allclose(px, pp, atol=1e-5)
+    # 3e-5: the backends' softmaxes reduce in different orders (the pallas
+    # resident kernel computes it in-kernel), so posteriors agree only to
+    # f32 summation roundoff
+    np.testing.assert_allclose(px, pp, atol=3e-5)
     np.testing.assert_allclose(px.sum(-1), 1.0, rtol=1e-4)
 
     # the float oracle bounds quantization error the same way FuncTest does
@@ -62,7 +65,7 @@ def test_random_topologies_end_to_end(rng, trial):
     masks = (rng.random((n_frames, net.output_dim)) < rng.uniform(0.2, 0.8)).astype(np.uint8)
     lx = sx.score_masked(frames, masks)
     lp = sp.score_masked(frames, masks)
-    np.testing.assert_allclose(lx, lp, atol=1e-5)
+    np.testing.assert_allclose(lx, lp, atol=3e-5)
     np.testing.assert_allclose(lx.sum(-1), 1.0, rtol=1e-4)
 
 

@@ -172,12 +172,13 @@ def test_end_to_end_pallas_scorer_interpret(small_net, features_16khz):
     out_x = sc_x.score(frames)
     out_p = sc_p.score(frames)
     assert out_p.shape == (32, sc_x.output_dim)
-    np.testing.assert_allclose(out_p, out_x, atol=1e-5)
+    # softmax reduction order differs between the backends (see test_fuzz)
+    np.testing.assert_allclose(out_p, out_x, atol=3e-5)
     # masked path too
     masks = (np.arange(sc_x.output_dim) % 3 == 0).astype(np.uint8)
     masks = np.tile(masks, (32, 1))
     np.testing.assert_allclose(
-        sc_p.score_masked(frames, masks), sc_x.score_masked(frames, masks), atol=1e-5
+        sc_p.score_masked(frames, masks), sc_x.score_masked(frames, masks), atol=3e-5
     )
 
 
