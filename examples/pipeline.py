@@ -11,6 +11,11 @@ FuncTest converts is not redistributable) and the bundled feature files.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import tempfile
 import threading
