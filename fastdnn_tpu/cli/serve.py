@@ -85,16 +85,25 @@ class _Handler(socketserver.BaseRequestHandler):
                             "frames": tp.frames,
                             "frames_per_s": round(tp.frames_per_s(), 1),
                             "audio_seconds_per_s": round(tp.audio_seconds_per_s(), 2),
+                            # model dims so clients can size feature vectors
+                            # and mask payloads without out-of-band knowledge
+                            "input_dim": server.stream.input_dim,
+                            "output_dim": server.stream.output_dim,
                         }
                     ).encode()
                     sock.sendall(struct.pack("<BI", 0, len(payload)) + payload)
                     continue
                 n, dim = struct.unpack("<II", _recv_exact(sock, 8))
-                if n == 0 or dim == 0 or n * dim > 1 << 28:
-                    # the declared payload length is untrustworthy, so the
-                    # stream cannot be resynced — error out and drop the
-                    # connection rather than misparse what follows
-                    _send_err(sock, f"bad frame count/dim {n}x{dim}")
+                if n == 0 or dim == 0 or n * dim > 1 << 28 or dim > server.stream.input_dim:
+                    # the declared payload length is untrustworthy (and a
+                    # wrong dim desynchronizes a masked request's byte
+                    # stream), so error out and drop the connection rather
+                    # than misparse what follows
+                    _send_err(
+                        sock,
+                        f"bad frame count/dim {n}x{dim} "
+                        f"(model input dim {server.stream.input_dim})",
+                    )
                     return
                 frames = np.frombuffer(
                     _recv_exact(sock, 4 * n * dim), dtype="<f4"

@@ -222,7 +222,12 @@ def score_fn(
 
     `out_dim` slices away MXU padding columns (pad_qnet_for_tpu) before the
     softmax — padded logits are exactly 0.0 and must not join the denominator.
+    Defaults to the net's own true senone count (QuantizedNet.output_dim,
+    static metadata set by pad_qnet_for_tpu), so padded nets are safe without
+    callers threading the count through.
     """
+    if out_dim is None:
+        out_dim = net.output_dim
     acts = hidden_forward(
         net, frames, backend, interpret, input_precision, hstack, stack_max_frames,
         hidden_blocks,
@@ -232,14 +237,14 @@ def score_fn(
             net,
             acts,
             None,
-            out_dim=out_dim if out_dim is not None else net.output_dim,
+            out_dim=out_dim,
             semantics="reference",
             interpret=interpret,
             fast=fast_posteriors,
             out_blocks=out_blocks,
         )
     logits = output_logits(net, acts, backend, interpret, out_blocks)
-    if out_dim is not None and out_dim != logits.shape[-1]:
+    if out_dim != logits.shape[-1]:
         logits = logits[:, :out_dim]
     return jax.nn.softmax(logits, axis=-1)
 
@@ -266,13 +271,14 @@ def score_masked_fn(
     masks: [B, out], nonzero = senone active for that frame (the reference's
     byte mask, /root/reference/src/java/suskun/nn/QuantizedDnn.java:88-93).
     """
+    if out_dim is None:
+        out_dim = net.output_dim
     acts = hidden_forward(
         net, frames, backend, interpret, input_precision, hstack, stack_max_frames,
         hidden_blocks,
     )
     if backend == "pallas" and fused_softmax:
-        true_out = out_dim if out_dim is not None else net.output_dim
-        # masks are [B, true_out]; pad to the MXU-padded width (padded
+        # masks are [B, out_dim]; pad to the MXU-padded width (padded
         # columns are masked out in-kernel via the out_dim cutoff anyway)
         n_pad = net.weights[-1].shape[1]
         if masks.shape[-1] != n_pad:
@@ -281,14 +287,14 @@ def score_masked_fn(
             net,
             acts,
             masks,
-            out_dim=true_out,
+            out_dim=out_dim,
             semantics=semantics,
             interpret=interpret,
             fast=fast_posteriors,
             out_blocks=out_blocks,
         )
     logits = output_logits(net, acts, backend, interpret, out_blocks)
-    if out_dim is not None and out_dim != logits.shape[-1]:
+    if out_dim != logits.shape[-1]:
         logits = logits[:, :out_dim]
     mask_bool = masks != 0
     if semantics == "reference":

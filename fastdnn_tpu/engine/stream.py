@@ -90,6 +90,11 @@ class StreamingScorer:
         """Senone count of the wrapped engine (wire-protocol mask width)."""
         return self._scorer.output_dim
 
+    @property
+    def input_dim(self) -> int:
+        """Feature width of the wrapped engine."""
+        return self._scorer.input_dim
+
     # -- producer side -------------------------------------------------------
 
     def submit(self, frames, masks=None) -> "Future[np.ndarray]":

@@ -129,13 +129,34 @@ def parse_features_text(text: str) -> Dict[str, np.ndarray]:
 
 
 def load_features_text(path) -> Dict[str, np.ndarray]:
-    from . import native
+    try:
+        from . import native
 
-    if native.available():
-        try:
+        if native.available():
             return native.read_features_text(path)
-        except ValueError:
-            pass  # fall through to the tolerant Python parser
+    except ValueError as e:
+        # the native parser rejected a file the lax Python regex may still
+        # read — log it so a parser-behavior divergence is visible, not
+        # silently papered over (the two parsers are agreement-gated on
+        # well-formed files in tests/test_native.py)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "native text-feature parser rejected %s (%s); retrying with the "
+            "tolerant Python parser",
+            path,
+            e,
+        )
+    except FileNotFoundError:
+        raise
+    except Exception as e:  # stale .so, symbol drift: degrade, don't crash
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "native text-feature parser unusable (%s: %s); using Python parser",
+            type(e).__name__,
+            e,
+        )
     with open(path) as f:
         return parse_features_text(f.read())
 

@@ -35,7 +35,24 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     if not os.path.exists(_LIB_PATH):
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = _bind(ctypes.CDLL(_LIB_PATH))
+    except (OSError, AttributeError) as e:
+        # a stale .so built before newer fd_* symbols must degrade to the
+        # numpy parsers (the module contract), not crash at symbol binding
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "native IO library unusable (%s: %s); using numpy fallback",
+            type(e).__name__,
+            e,
+        )
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.fd_read_model.restype = ctypes.c_void_p
     lib.fd_read_model.argtypes = [ctypes.c_char_p]
     lib.fd_model_layer_count.restype = ctypes.c_int32
@@ -77,7 +94,6 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fd_ftext_data.restype = ctypes.POINTER(ctypes.c_float)
     lib.fd_ftext_data.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.fd_ftext_free.argtypes = [ctypes.c_void_p]
-    _lib = lib
     return lib
 
 

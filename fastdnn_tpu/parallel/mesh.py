@@ -81,6 +81,8 @@ def qnet_shardings(mesh: Mesh):
             biases=tuple([rep] * (n - 1) + [vec]),
             inv_scales=tuple([rep] * n),
             multipliers=tuple([rep] * n),
+            # static metadata must match the net's treedef for in_shardings
+            true_output_dim=qnet.true_output_dim,
         )
 
     return build

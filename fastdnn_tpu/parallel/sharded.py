@@ -156,6 +156,11 @@ def score_shard_map(
     Returns posteriors [B, out_padded] sharded (data, model); columns at or
     beyond out_dim are exactly 0.
     """
+    if out_dim is None:
+        # pad_qnet_for_tpu stamps the true senone count on the net; fall
+        # back to it so padded zero-logit columns never join the softmax
+        # denominator by default (width == count for unpadded nets).
+        out_dim = qnet.output_dim
     n_layers = len(qnet.weights)
     net_spec = QuantizedNet(
         input_w=P(),
@@ -165,6 +170,7 @@ def score_shard_map(
         biases=tuple([P()] * (n_layers - 1) + [P(MODEL_AXIS)]),
         inv_scales=tuple([P()] * n_layers),
         multipliers=tuple([P()] * n_layers),
+        true_output_dim=qnet.true_output_dim,
     )
     in_specs = [net_spec, P(DATA_AXIS, None)]
     args = [qnet, frames]
@@ -188,7 +194,9 @@ def score_shard_map(
             m = jax.lax.pmax(jnp.max(zm, axis=-1, keepdims=True), MODEL_AXIS)
             e = jnp.where(mask_bool, jnp.exp(zm - m), 0.0)
             s = jax.lax.psum(jnp.sum(e, axis=-1, keepdims=True), MODEL_AXIS)
-            return e / s
+            # a fully-masked frame has s == 0; emit an all-zero row instead
+            # of NaN, matching masked_softmax_active_only and the kernels
+            return e / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
         return _sharded_softmax(z, valid)
 
     key = (

@@ -59,6 +59,11 @@ class QuantizedNet:
     inv_scales[i]: f32 scalar 1 / (multiplier_i * 255) — the dequantization
         coefficient (dnn.cc:297-298).
     multipliers[i]: f32 scalar, kept for introspection/tests.
+    true_output_dim: static metadata set by pad_qnet_for_tpu — the real
+        senone count when the output width carries MXU padding columns
+        (None = the width IS the true count).  Lets every scoring path
+        derive the softmax extent from the net itself instead of relying
+        on callers to thread an out_dim argument.
     """
 
     input_w: jax.Array
@@ -68,6 +73,9 @@ class QuantizedNet:
     biases: Tuple[jax.Array, ...]
     inv_scales: Tuple[jax.Array, ...]
     multipliers: Tuple[jax.Array, ...]
+    true_output_dim: int | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def input_dim(self) -> int:
@@ -75,6 +83,14 @@ class QuantizedNet:
 
     @property
     def output_dim(self) -> int:
+        """True senone count (excludes MXU padding columns)."""
+        if self.true_output_dim is not None:
+            return self.true_output_dim
+        return self.weights[-1].shape[1]
+
+    @property
+    def padded_output_dim(self) -> int:
+        """Output-layer width as stored (includes MXU padding columns)."""
         return self.weights[-1].shape[1]
 
     @property
@@ -185,4 +201,5 @@ def pad_qnet_for_tpu(
         biases=tuple(biases),
         inv_scales=qnet.inv_scales,
         multipliers=qnet.multipliers,
+        true_output_dim=qnet.output_dim,
     )

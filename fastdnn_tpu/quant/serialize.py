@@ -27,6 +27,10 @@ def save_qnet(qnet: QuantizedNet, path) -> None:
     arrays = {
         "format_version": np.int32(FORMAT_VERSION),
         "n_quantized_layers": np.int32(n),
+        # -1 encodes "width is the true senone count" (no MXU padding)
+        "true_output_dim": np.int32(
+            -1 if qnet.true_output_dim is None else qnet.true_output_dim
+        ),
         "input_w": np.asarray(qnet.input_w),
         "input_b": np.asarray(qnet.input_b),
     }
@@ -47,7 +51,11 @@ def load_qnet(path) -> QuantizedNet:
         if version != FORMAT_VERSION:
             raise ValueError(f"unsupported qnet format version {version}")
         n = int(z["n_quantized_layers"])
+        true_out = None
+        if "true_output_dim" in z and int(z["true_output_dim"]) >= 0:
+            true_out = int(z["true_output_dim"])
         return QuantizedNet(
+            true_output_dim=true_out,
             input_w=jnp.asarray(z["input_w"]),
             input_b=jnp.asarray(z["input_b"]),
             weights=tuple(jnp.asarray(z[f"w_{i}"]) for i in range(n)),

@@ -107,6 +107,41 @@ class TestShardMap:
         assert np.all(out[masks == 0] == 0.0)
 
 
+def test_shard_map_active_only_fully_masked_row_is_zero(qnet, frames):
+    """A frame whose mask is all-zero must yield an all-zero posterior row
+    (not NaN) under active_only semantics — the shard_map path used to
+    divide by a zero psum (ADVICE r1)."""
+    masks = np.ones((64, qnet.output_dim), np.uint8)
+    masks[3] = 0
+    masks[17] = 0
+    m = pmesh.make_mesh(data=2, model=4)
+    out = np.asarray(
+        score_shard_map(qnet, frames, m, masks=jnp.asarray(masks), semantics="active_only")
+    )
+    assert not np.isnan(out).any()
+    np.testing.assert_array_equal(out[3], 0.0)
+    np.testing.assert_array_equal(out[17], 0.0)
+
+
+def test_shard_map_derives_out_dim_from_padded_net(small_net):
+    """pad_qnet_for_tpu stamps the true senone count on the net, so the
+    sharded path must exclude padding columns from the softmax WITHOUT the
+    caller passing out_dim (ADVICE r1: silent divergence by default)."""
+    from fastdnn_tpu.parallel.mesh import make_mesh
+    from fastdnn_tpu.quant.quantize import pad_qnet_for_tpu, quantize_net
+
+    qnet = quantize_net(small_net)  # 400 outputs
+    padded = pad_qnet_for_tpu(qnet, out_lanes=256)  # -> 512
+    assert padded.output_dim == 400 and padded.padded_output_dim == 512
+    mesh = make_mesh(model=2)
+    frames = np.random.default_rng(0).standard_normal((16, qnet.input_dim)).astype(np.float32)
+    fp = jnp.pad(jnp.asarray(frames), ((0, 0), (0, padded.input_dim - qnet.input_dim)))
+    out = np.asarray(score_shard_map(padded, fp, mesh))  # no out_dim passed
+    expected = Scorer(qnet, EngineConfig(backend="xla")).score(frames)
+    np.testing.assert_array_equal(out[:, 400:], 0.0)
+    np.testing.assert_allclose(out[:, :400], expected, atol=1e-5)
+
+
 def test_shard_map_excludes_mxu_padding_from_softmax(small_net):
     """With a pad_qnet_for_tpu-padded net (senone count not divisible by
     the model axis), score_shard_map must keep the zero-logit padding

@@ -140,6 +140,18 @@ class TestSerialization:
             Scorer(back).score(frames), Scorer(qnet).score(frames)
         )
 
+    def test_roundtrip_preserves_true_output_dim(self, small_net, tmp_path):
+        from fastdnn_tpu.quant.quantize import pad_qnet_for_tpu
+        from fastdnn_tpu.quant.serialize import load_qnet, save_qnet
+
+        padded = pad_qnet_for_tpu(quantize_net(small_net), out_lanes=256)
+        path = tmp_path / "padded.qnet.npz"
+        save_qnet(padded, path)
+        back = load_qnet(path)
+        assert back.true_output_dim == padded.true_output_dim == 400
+        assert back.output_dim == 400
+        assert back.padded_output_dim == 512
+
     def test_version_check(self, small_net, tmp_path):
         import numpy as np
         import pytest

@@ -139,6 +139,21 @@ class TestScoreServer:
         np.testing.assert_allclose(got_m, scorer.score_masked(u, masks), atol=1e-6)
         stats = c.stats()
         assert stats["frames"] >= 18
+        # model dims are discoverable on the wire (clients size mask
+        # payloads from output_dim instead of out-of-band knowledge)
+        assert stats["input_dim"] == scorer.input_dim
+        assert stats["output_dim"] == scorer.output_dim
+        c.close()
+
+    def test_oversized_dim_rejected_before_payload(self, server, scorer):
+        """A request declaring dim > the model's input width used to be
+        accepted and desynchronize masked streams; it must error cleanly."""
+        from fastdnn_tpu.cli.serve import ScoreClient
+
+        host, port = server.server_address[:2]
+        c = ScoreClient(host, port)
+        with pytest.raises(RuntimeError, match="bad frame count/dim"):
+            c.score(np.zeros((2, scorer.input_dim + 64), np.float32))
         c.close()
 
     def test_concurrent_clients(self, server, scorer, rng):
