@@ -307,20 +307,70 @@ class Scorer:
 
     Thread-safe by construction: all state is immutable; jitted executables
     are cached per input shape.
+
+    `mesh` (a jax.sharding.Mesh with axes ("data", "model"), see
+    parallel.mesh.make_mesh) turns the same API multi-chip: frames are
+    data-parallel, the output layer is tensor-parallel, and every public
+    method — score / score_masked / score_utterances / LazyContext —
+    produces posteriors equal to the single-device engine.  The sharded
+    programs run the configured kernel stack per shard under shard_map with
+    explicit pmax/psum softmax collectives (parallel.sharded
+    .make_mesh_programs), so the Pallas kernels never force weight gathers.
+    The gathered small-batch lazy path is single-device only (its
+    host-side union indexing does not shard); lazy_mode="auto" degrades to
+    dense under a mesh.
     """
 
-    def __init__(self, net: QuantizedNet, config: Optional[EngineConfig] = None):
+    def __init__(
+        self,
+        net: QuantizedNet,
+        config: Optional[EngineConfig] = None,
+        mesh=None,
+    ):
         self.config = config or EngineConfig()
+        self.mesh = mesh
         self._backend = self.config.resolve_backend(_default_platform())
         self._output_dim = net.output_dim
         self._input_dim = net.input_dim
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            self._data_size = mesh.shape[DATA_AXIS]
+            model_size = mesh.shape[MODEL_AXIS]
+            if self.config.lazy_mode == "gathered":
+                raise ValueError(
+                    "lazy_mode='gathered' is single-device only; use 'dense' "
+                    "or 'auto' with a mesh"
+                )
+        else:
+            self._data_size = 1
+            model_size = 1
         if self._backend == "pallas":
+            import math
+
             from ..quant.quantize import pad_qnet_for_tpu
 
-            net = pad_qnet_for_tpu(net)
+            # output width must tile the MXU (x1024) AND split evenly over
+            # the model axis into x128 local shards
+            net = pad_qnet_for_tpu(net, out_lanes=math.lcm(1024, 128 * model_size))
+        elif model_size > 1 and net.padded_output_dim % model_size:
+            from ..quant.quantize import pad_qnet_for_tpu
+
+            # XLA backend only needs even model-axis shards
+            net = pad_qnet_for_tpu(net, lanes=1, out_lanes=model_size)
+        if mesh is not None:
+            from ..parallel.mesh import shard_qnet
+
+            net = shard_qnet(net, mesh)
         self.net = net
         hstack = None
-        if self._backend == "pallas" and self.config.stack_hidden_max_frames > 0:
+        if (
+            mesh is None
+            and self._backend == "pallas"
+            and self.config.stack_hidden_max_frames > 0
+        ):
+            # the stacked-hidden kernel closes over the weight stack, which
+            # shard_map cannot capture; mesh scoring uses per-layer kernels
             hstack = build_hidden_stack(net)
         kw = dict(
             backend=self._backend,
@@ -334,6 +384,31 @@ class Scorer:
             hidden_blocks=(self.config.block_frames, self.config.block_nodes_hidden),
             out_blocks=(self.config.block_frames_out, self.config.block_nodes_out),
         )
+        if mesh is not None:
+            from ..parallel.sharded import make_mesh_programs
+
+            (
+                self._score,
+                self._score_masked,
+                self._hidden,
+                self._masked_from_acts,
+            ) = make_mesh_programs(
+                mesh,
+                n_layers=len(net.weights),
+                out_dim=self._output_dim,
+                semantics=self.config.lazy_semantics,
+                backend=self._backend,
+                interpret=self.config.interpret,
+                fused_softmax=self.config.fused_softmax,
+                input_precision=self.config.input_precision,
+                fast_posteriors=self.config.fast_posteriors,
+                hidden_blocks=kw["hidden_blocks"],
+                out_blocks=kw["out_blocks"],
+                true_output_dim=net.true_output_dim,
+            )
+            self._gathered = None
+            self._gather_capacity = 0
+            return
         # Pin the posteriors' entry layout to row-major: with the unaligned
         # true senone count (e.g. 8000), XLA's layout assignment otherwise
         # picks a column-major program output and inserts a full transpose
@@ -437,10 +512,28 @@ class Scorer:
             )
         if dim < self.net.input_dim:  # zero-pad like the x4 alignment path
             frames = jnp.pad(frames, ((0, 0), (0, self.net.input_dim - dim)))
-        bucket = aligned_size(max(n, 1), self.config.frame_bucket)
+        # under a mesh every data shard must still get a full jit bucket
+        bucket = aligned_size(max(n, 1), self.config.frame_bucket * self._data_size)
         if bucket != n:
             frames = jnp.pad(frames, ((0, bucket - n), (0, 0)))
         return frames, n
+
+    def _pad_masks(self, masks, pad_n: int) -> np.ndarray:
+        """[n, output_dim] host masks -> the width the masked program wants
+        (the padded output width under a mesh; extra columns are inactive
+        and excluded from the softmax as MXU padding anyway)."""
+        width = self.net.padded_output_dim if self.mesh is not None else self._output_dim
+        out = np.zeros((pad_n, width), dtype=np.uint8)
+        out[: masks.shape[0], : self._output_dim] = masks != 0
+        return out
+
+    def _finish(self, out, n: int) -> np.ndarray:
+        """Device posteriors -> host [n, output_dim] f32 (slices away frame
+        bucketing and, under a model-sharded mesh, MXU padding columns)."""
+        arr = np.asarray(out[:n], dtype=np.float32)
+        if arr.shape[1] != self._output_dim:
+            arr = arr[:, : self._output_dim]
+        return arr
 
     # -- public API ----------------------------------------------------------
 
@@ -451,7 +544,7 @@ class Scorer:
             return np.zeros((0, self.output_dim), np.float32)
         padded, n = self._prepare(frames)
         out = self._score(self.net, padded)
-        return np.asarray(out[:n], dtype=np.float32)
+        return self._finish(out, n)
 
     def score_device(self, frames: jax.Array) -> jax.Array:
         """Device-resident variant (no host transfers, no padding)."""
@@ -472,8 +565,7 @@ class Scorer:
             )
         padded, n = self._prepare(frames)
         pad_n = padded.shape[0]
-        masks_p = np.zeros((pad_n, self.output_dim), dtype=np.uint8)
-        masks_p[:n] = masks != 0
+        masks_p = self._pad_masks(masks, pad_n)
         if self._use_gathered(n, masks_p):
             from .lazy import union_active_indices
 
@@ -482,11 +574,11 @@ class Scorer:
             out = self._gathered(self.net, acts, jnp.asarray(masks_p), jnp.asarray(idx))
         else:
             out = self._score_masked(self.net, padded, jnp.asarray(masks_p))
-        return np.asarray(out[:n], dtype=np.float32)
+        return self._finish(out, n)
 
     def _use_gathered(self, n_frames: int, masks: np.ndarray) -> bool:
         mode = self.config.lazy_mode
-        if mode == "dense":
+        if mode == "dense" or self.mesh is not None:
             return False
         if mode == "auto" and n_frames > self.config.lazy_gather_max_frames:
             # cheap reject before the O(frames x senones) union scan
@@ -524,6 +616,21 @@ class Scorer:
         if keys is not None:
             return dict(zip(keys, splits))
         return list(splits)
+
+    def _score_masked_from_acts(self, acts: jax.Array, masks: np.ndarray) -> np.ndarray:
+        """Posteriors for a few rows of stored last-hidden activations.
+
+        Pads rows to what the compiled program needs (B % 32 per shard for
+        the Pallas kernels; divisible by the data axis under a mesh) and
+        masks to the program's output width, then slices both back.
+        """
+        b = acts.shape[0]
+        rows = 32 * self._data_size if self.mesh is not None else b
+        if acts.shape[0] != rows:
+            acts = jnp.pad(acts, ((0, rows - b), (0, 0)))
+        masks_p = self._pad_masks(np.asarray(masks), rows)
+        out = self._masked_from_acts(self.net, acts, jnp.asarray(masks_p))
+        return self._finish(out, b)
 
     def new_lazy_context(self, input_vector_count: int) -> "LazyContext":
         """API-parity with QuantizedDnn.getNewLazyContext
@@ -575,9 +682,8 @@ class LazyContext:
             out = self._scorer._gathered(
                 self._scorer.net, acts_i, jnp.asarray(mask), jnp.asarray(idx)
             )
+            res = np.asarray(out[0])
         else:
-            out = self._scorer._masked_from_acts(
-                self._scorer.net, acts_i, jnp.asarray(mask)
-            )
+            res = self._scorer._score_masked_from_acts(acts_i, mask)[0]
         self.current_vector_index += 1
-        return np.asarray(out[0])
+        return res

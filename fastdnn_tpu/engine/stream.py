@@ -229,8 +229,7 @@ class StreamingScorer:
         if sc._use_gathered(frames.shape[0], masks):
             return sc.score_masked(frames, masks)
         padded, n = sc._prepare(frames)
-        masks_p = np.zeros((padded.shape[0], sc.output_dim), np.uint8)
-        masks_p[:n] = masks
+        masks_p = sc._pad_masks(masks, padded.shape[0])
         import jax.numpy as jnp
 
         out = sc._score_masked(sc.net, padded, jnp.asarray(masks_p))
@@ -245,7 +244,7 @@ class StreamingScorer:
         try:
             if isinstance(out, tuple):
                 dev, n = out
-                arr = np.asarray(dev[:n], dtype=np.float32)
+                arr = self._scorer._finish(dev, n)
             else:
                 arr = out
         except Exception as e:

@@ -1,15 +1,25 @@
 """Sharded scoring: data-parallel frames x tensor-parallel output layer.
 
-Two equivalent implementations, both returning posteriors identical to the
-single-device engine:
+Three layers of API, all returning posteriors equal to the single-device
+engine:
 
-  * `score_gspmd` — `jax.jit` with NamedShardings; XLA's SPMD partitioner
-    inserts the collectives.  The production path: composes with any backend
-    and lets XLA fuse.
-  * `score_shard_map` — explicit `shard_map` with hand-placed collectives
-    (pmax/psum over the model axis for the globally-correct softmax).  The
-    didactic/verification path, and the place where custom Pallas
-    collectives would slot in.
+  * `make_mesh_programs` — the PRODUCTION path, used by
+    `engine.Scorer(..., mesh=...)`: jitted `shard_map` programs running the
+    full configured kernel stack (Pallas hidden/output kernels, block
+    sizes, fused softmax where legal) per shard, with hand-placed
+    collectives (pmax/psum over the model axis) for the globally-exact
+    softmax.  shard_map sees per-shard local arrays, so an opaque
+    `pallas_call` can never induce a hidden all-gather of the sharded
+    output weight — the only cross-chip traffic is the two scalar-per-frame
+    softmax collectives riding ICI.
+  * `score_shard_map` — the standalone explicit-collective scorer over raw
+    arrays (didactic/verification surface for the same body).
+  * `make_gspmd_scorer` — `jax.jit` with NamedShardings; XLA's SPMD
+    partitioner inserts the collectives.  Composes with any backend, but
+    NOTE: a `pallas_call` is opaque to the partitioner, so with
+    backend="pallas" and a model-sharded output weight XLA will gather
+    operands to satisfy the kernel — correct but not scalable.  Use the
+    shard_map paths for multi-chip Pallas production.
 
 Softmax across a node-sharded output layer needs a global max and a global
 sum (SURVEY.md §5 "Multi-host numerics"): with logits z sharded over
@@ -26,6 +36,7 @@ compose the same way because the reference's zero-logit convention
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 from typing import Optional
 
 import jax
@@ -37,76 +48,27 @@ try:  # jax >= 0.6 public API, else experimental
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..engine.scorer import hidden_forward, output_logits
+from ..engine.scorer import hidden_forward, output_logits, score_fn, score_masked_fn
+from ..ops import matmul as xops
 from ..quant.quantize import QuantizedNet
 from .mesh import DATA_AXIS, MODEL_AXIS, frames_sharding, qnet_shardings
 
 
-# ---------------------------------------------------------------------------
-# GSPMD path
-# ---------------------------------------------------------------------------
+def _net_spec(n_layers: int, true_output_dim: Optional[int]) -> QuantizedNet:
+    """shard_map PartitionSpecs for a QuantizedNet: hidden layers replicated,
+    output layer sharded on the node dim over MODEL_AXIS."""
+    return QuantizedNet(
+        input_w=P(),
+        input_b=P(),
+        weights=tuple([P()] * (n_layers - 1) + [P(None, MODEL_AXIS)]),
+        colsum128=tuple([P()] * (n_layers - 1) + [P(MODEL_AXIS)]),
+        biases=tuple([P()] * (n_layers - 1) + [P(MODEL_AXIS)]),
+        inv_scales=tuple([P()] * n_layers),
+        multipliers=tuple([P()] * n_layers),
+        # static metadata must match the net's treedef
+        true_output_dim=true_output_dim,
+    )
 
-def make_gspmd_scorer(
-    mesh: Mesh,
-    *,
-    backend: str = "xla",
-    interpret: bool = False,
-    out_dim: Optional[int] = None,
-    semantics: str = "reference",
-):
-    """Returns jitted (score, score_masked) over the mesh.
-
-    The returned callables take (qnet, frames[, masks]) already or not yet
-    device_put — jit moves them per the declared shardings either way.
-    """
-    from ..engine.scorer import score_fn, score_masked_fn
-
-    fs = frames_sharding(mesh)
-    out_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
-    mask_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
-    # jit executables are cached per net STRUCTURE (the in_shardings pytree
-    # depends on the layer count): building a fresh jax.jit wrapper per call
-    # would retrace + recompile every invocation.
-    _cache: dict = {}
-
-    def _jitted(kind: str, qnet: QuantizedNet):
-        key = (kind, len(qnet.weights))
-        if key not in _cache:
-            net_sh = qnet_shardings(mesh)(qnet)
-            if kind == "score":
-                _cache[key] = jax.jit(
-                    functools.partial(
-                        score_fn, backend=backend, interpret=interpret, out_dim=out_dim
-                    ),
-                    in_shardings=(net_sh, fs),
-                    out_shardings=out_sharding,
-                )
-            else:
-                _cache[key] = jax.jit(
-                    functools.partial(
-                        score_masked_fn,
-                        backend=backend,
-                        interpret=interpret,
-                        out_dim=out_dim,
-                        semantics=semantics,
-                    ),
-                    in_shardings=(net_sh, fs, mask_sharding),
-                    out_shardings=out_sharding,
-                )
-        return _cache[key]
-
-    def score(qnet, frames):
-        return _jitted("score", qnet)(qnet, frames)
-
-    def score_masked(qnet, frames, masks):
-        return _jitted("masked", qnet)(qnet, frames, masks)
-
-    return score, score_masked
-
-
-# ---------------------------------------------------------------------------
-# Explicit shard_map path
-# ---------------------------------------------------------------------------
 
 def _valid_cols(n_local: int, out_dim: int | None):
     """Per-shard boolean [1, n_local]: True where the global column index is
@@ -134,8 +96,271 @@ def _sharded_softmax(z_local: jax.Array, valid=None) -> jax.Array:
     return e / s
 
 
-#: jitted shard_map programs, keyed on everything that changes the trace
-_SHARD_MAP_CACHE: dict = {}
+def _sharded_posteriors_from_logits(z, masks, valid, semantics):
+    """Masked/unmasked collective softmax on local logit shards.
+
+    Runs INSIDE shard_map.  masks: local [B, n_local] (nonzero = active) or
+    None.  Reproduces the single-device semantics exactly: reference keeps
+    zero logits for inactive senones in the denominator (dnn.cc:369-389),
+    active_only renormalizes and emits all-zero rows for fully-masked frames.
+    """
+    if masks is None:
+        return _sharded_softmax(z, valid)
+    mask_bool = masks != 0
+    if valid is not None:
+        mask_bool = mask_bool & valid
+    if semantics == "reference":
+        z = jnp.where(mask_bool, z, 0.0)
+        return _sharded_softmax(z, valid)
+    neg = jnp.float32(-1e30)
+    zm = jnp.where(mask_bool, z, neg)
+    m = jax.lax.pmax(jnp.max(zm, axis=-1, keepdims=True), MODEL_AXIS)
+    e = jnp.where(mask_bool, jnp.exp(zm - m), 0.0)
+    s = jax.lax.psum(jnp.sum(e, axis=-1, keepdims=True), MODEL_AXIS)
+    # a fully-masked frame has s == 0; emit an all-zero row instead
+    # of NaN, matching masked_softmax_active_only and the kernels
+    return e / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+
+
+# ---------------------------------------------------------------------------
+# Production mesh programs (engine.Scorer(mesh=...))
+# ---------------------------------------------------------------------------
+
+def make_mesh_programs(
+    mesh: Mesh,
+    *,
+    n_layers: int,
+    out_dim: int,
+    semantics: str = "reference",
+    backend: str = "xla",
+    interpret: bool = False,
+    fused_softmax: bool = False,
+    input_precision: str = "high",
+    fast_posteriors: bool = False,
+    hidden_blocks=None,
+    out_blocks=None,
+    true_output_dim: Optional[int] = None,
+):
+    """Jitted shard_map programs for mesh-backed Scorers.
+
+    Returns (score, score_masked, hidden, masked_from_acts):
+      score(net, frames)                -> posteriors
+      score_masked(net, frames, masks)  -> posteriors (masks at FULL padded
+                                           output width)
+      hidden(net, frames)               -> last-hidden int8 activations
+      masked_from_acts(net, acts, masks)-> posteriors from stored activations
+
+    With model=1 the bodies run the complete single-device program per data
+    shard — including the fused in-kernel softmax — and emit [B, out_dim].
+    With model>1 the output layer runs as the per-shard kernel stack's
+    logits pass plus the exact collective softmax, emitting the padded
+    width [B, N_padded] sharded over (data, model); padding columns are 0.
+    """
+    model = mesh.shape[MODEL_AXIS]
+    net_spec = _net_spec(n_layers, true_output_dim)
+    fspec = P(DATA_AXIS, None)
+    kw = dict(
+        backend=backend,
+        interpret=interpret,
+        input_precision=input_precision,
+        hidden_blocks=hidden_blocks,
+        out_blocks=out_blocks,
+    )
+
+    def hidden_body(net, frames):
+        return hidden_forward(
+            net, frames, backend, interpret, input_precision,
+            hidden_blocks=hidden_blocks,
+        )
+
+    if model == 1:
+        out_spec = P(DATA_AXIS, None)
+        mask_spec = P(DATA_AXIS, None)
+
+        def score_body(net, frames):
+            return score_fn(
+                net, frames, out_dim=out_dim, fused_softmax=fused_softmax,
+                fast_posteriors=fast_posteriors, **kw,
+            )
+
+        def masked_body(net, frames, masks):
+            # masks arrive at the padded width for API uniformity;
+            # score_masked_fn wants the true senone count
+            return score_masked_fn(
+                net, frames, masks[:, :out_dim], out_dim=out_dim,
+                semantics=semantics, fused_softmax=fused_softmax,
+                fast_posteriors=fast_posteriors, **kw,
+            )
+
+        def from_acts_body(net, acts, masks):
+            z = output_logits(net, acts, backend, interpret, out_blocks)
+            z = z[:, :out_dim]
+            mask_bool = masks[:, :out_dim] != 0
+            if semantics == "reference":
+                return xops.masked_softmax_reference(z, mask_bool)
+            return xops.masked_softmax_active_only(z, mask_bool)
+
+    else:
+        out_spec = P(DATA_AXIS, MODEL_AXIS)
+        mask_spec = P(DATA_AXIS, MODEL_AXIS)
+
+        def score_body(net, frames):
+            acts = hidden_body(net, frames)
+            z = output_logits(net, acts, backend, interpret, out_blocks)
+            return _sharded_posteriors_from_logits(
+                z, None, _valid_cols(z.shape[-1], out_dim), semantics
+            )
+
+        def masked_body(net, frames, masks):
+            acts = hidden_body(net, frames)
+            z = output_logits(net, acts, backend, interpret, out_blocks)
+            return _sharded_posteriors_from_logits(
+                z, masks, _valid_cols(z.shape[-1], out_dim), semantics
+            )
+
+        def from_acts_body(net, acts, masks):
+            z = output_logits(net, acts, backend, interpret, out_blocks)
+            return _sharded_posteriors_from_logits(
+                z, masks, _valid_cols(z.shape[-1], out_dim), semantics
+            )
+
+    def _wrap(body, in_specs, out_specs, pin_layout=False):
+        # check_vma=False: the static replication checker cannot see through
+        # pallas_call/score_fn internals to prove outputs replicated over an
+        # unused model axis; the specs here are replication-correct by
+        # construction (model=1 bodies never touch the model axis, model>1
+        # bodies emit genuinely model-sharded posteriors).
+        try:
+            sm = shard_map(
+                body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+        except TypeError:  # pragma: no cover - older shard_map API
+            sm = shard_map(
+                body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_rep=False,
+            )
+        jit_kw = {}
+        if pin_layout and backend == "pallas" and not interpret:
+            # pin the posteriors' entry layout to row-major, same as the
+            # single-device Scorer: with an unaligned true senone count XLA
+            # otherwise emits a column-major program output and inserts a
+            # full transpose copy (~0.8 ms per 8192-frame batch on v5e —
+            # observed via tools/profile.py trace-mesh)
+            try:
+                import jax.experimental.layout as jl
+
+                jit_kw["out_shardings"] = jl.Format(
+                    jl.Layout(major_to_minor=(0, 1)),
+                    NamedSharding(mesh, out_specs),
+                )
+            except Exception:  # pragma: no cover - layout API drift
+                jit_kw = {}
+        return jax.jit(sm, **jit_kw)
+
+    score = _wrap(score_body, (net_spec, fspec), out_spec, pin_layout=True)
+    score_masked = _wrap(
+        masked_body, (net_spec, fspec, mask_spec), out_spec, pin_layout=True
+    )
+    hidden = _wrap(hidden_body, (net_spec, fspec), P(DATA_AXIS, None))
+    masked_from_acts = _wrap(
+        from_acts_body, (net_spec, P(DATA_AXIS, None), mask_spec), out_spec,
+        pin_layout=True,
+    )
+    return score, score_masked, hidden, masked_from_acts
+
+
+# ---------------------------------------------------------------------------
+# GSPMD path
+# ---------------------------------------------------------------------------
+
+def make_gspmd_scorer(
+    mesh: Mesh,
+    *,
+    backend: str = "xla",
+    interpret: bool = False,
+    out_dim: Optional[int] = None,
+    semantics: str = "reference",
+    fused_softmax: bool = False,
+    input_precision: str = "high",
+    fast_posteriors: bool = False,
+    hidden_blocks=None,
+    out_blocks=None,
+):
+    """Returns jitted (score, score_masked) over the mesh.
+
+    The returned callables take (qnet, frames[, masks]) already or not yet
+    device_put — jit moves them per the declared shardings either way.
+    All engine knobs (backend, fused_softmax, block sizes) pass through to
+    score_fn/score_masked_fn.  With backend="pallas" and model>1 the
+    partitioner must gather operands around the opaque pallas_call — prefer
+    Scorer(mesh=...)/score_shard_map for multi-chip Pallas (module docstring).
+    """
+    fs = frames_sharding(mesh)
+    out_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    mask_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    engine_kw = dict(
+        backend=backend,
+        interpret=interpret,
+        out_dim=out_dim,
+        fused_softmax=fused_softmax,
+        input_precision=input_precision,
+        fast_posteriors=fast_posteriors,
+        hidden_blocks=hidden_blocks,
+        out_blocks=out_blocks,
+    )
+    # jit executables are cached per net STRUCTURE (the in_shardings pytree
+    # depends on the layer count): building a fresh jax.jit wrapper per call
+    # would retrace + recompile every invocation.
+    _cache: dict = {}
+
+    def _jitted(kind: str, qnet: QuantizedNet):
+        key = (kind, len(qnet.weights), qnet.true_output_dim)
+        if key not in _cache:
+            net_sh = qnet_shardings(mesh)(qnet)
+            if kind == "score":
+                _cache[key] = jax.jit(
+                    functools.partial(score_fn, **engine_kw),
+                    in_shardings=(net_sh, fs),
+                    out_shardings=out_sharding,
+                )
+            else:
+                _cache[key] = jax.jit(
+                    functools.partial(score_masked_fn, semantics=semantics, **engine_kw),
+                    in_shardings=(net_sh, fs, mask_sharding),
+                    out_shardings=out_sharding,
+                )
+        return _cache[key]
+
+    def score(qnet, frames):
+        return _jitted("score", qnet)(qnet, frames)
+
+    def score_masked(qnet, frames, masks):
+        return _jitted("masked", qnet)(qnet, frames, masks)
+
+    return score, score_masked
+
+
+# ---------------------------------------------------------------------------
+# Explicit shard_map path (standalone, raw-array surface)
+# ---------------------------------------------------------------------------
+
+#: jitted shard_map programs, keyed on everything that changes the trace.
+#: LRU-bounded: a long-running service cycling through many batch shapes
+#: must not accumulate compiled executables without limit.
+_SHARD_MAP_CACHE: "OrderedDict" = OrderedDict()
+_SHARD_MAP_CACHE_MAX = 64
+
+
+def _cache_get(key, build):
+    if key in _SHARD_MAP_CACHE:
+        _SHARD_MAP_CACHE.move_to_end(key)
+        return _SHARD_MAP_CACHE[key]
+    val = build()
+    _SHARD_MAP_CACHE[key] = val
+    while len(_SHARD_MAP_CACHE) > _SHARD_MAP_CACHE_MAX:
+        _SHARD_MAP_CACHE.popitem(last=False)
+    return val
 
 
 def score_shard_map(
@@ -148,13 +373,16 @@ def score_shard_map(
     interpret: bool = False,
     semantics: str = "reference",
     out_dim: Optional[int] = None,
+    input_precision: str = "high",
+    hidden_blocks=None,
+    out_blocks=None,
 ) -> jax.Array:
     """Explicit-collective scoring.  frames [B, in] with B divisible by the
     data axis; output dim must be divisible by the model axis (pad the net
-    with pad_qnet_for_tpu(lanes=128*model) if needed, and pass the TRUE
-    senone count as out_dim so padding columns stay out of the softmax).
-    Returns posteriors [B, out_padded] sharded (data, model); columns at or
-    beyond out_dim are exactly 0.
+    with pad_qnet_for_tpu(out_lanes=128*model) if needed — the padded net
+    carries its true senone count, so padding columns stay out of the
+    softmax automatically).  Returns posteriors [B, out_padded] sharded
+    (data, model); columns at or beyond out_dim are exactly 0.
     """
     if out_dim is None:
         # pad_qnet_for_tpu stamps the true senone count on the net; fall
@@ -162,16 +390,7 @@ def score_shard_map(
         # denominator by default (width == count for unpadded nets).
         out_dim = qnet.output_dim
     n_layers = len(qnet.weights)
-    net_spec = QuantizedNet(
-        input_w=P(),
-        input_b=P(),
-        weights=tuple([P()] * (n_layers - 1) + [P(None, MODEL_AXIS)]),
-        colsum128=tuple([P()] * (n_layers - 1) + [P(MODEL_AXIS)]),
-        biases=tuple([P()] * (n_layers - 1) + [P(MODEL_AXIS)]),
-        inv_scales=tuple([P()] * n_layers),
-        multipliers=tuple([P()] * n_layers),
-        true_output_dim=qnet.true_output_dim,
-    )
+    net_spec = _net_spec(n_layers, qnet.true_output_dim)
     in_specs = [net_spec, P(DATA_AXIS, None)]
     args = [qnet, frames]
     if masks is not None:
@@ -179,25 +398,15 @@ def score_shard_map(
         args.append(masks)
 
     def body(net, local_frames, *rest):
-        acts = hidden_forward(net, local_frames, backend, interpret)
-        z = output_logits(net, acts, backend, interpret)
+        acts = hidden_forward(
+            net, local_frames, backend, interpret, input_precision,
+            hidden_blocks=hidden_blocks,
+        )
+        z = output_logits(net, acts, backend, interpret, out_blocks)
         valid = _valid_cols(z.shape[-1], out_dim)
-        if rest:
-            mask_bool = rest[0] != 0
-            if valid is not None:
-                mask_bool = mask_bool & valid
-            if semantics == "reference":
-                z = jnp.where(mask_bool, z, 0.0)
-                return _sharded_softmax(z, valid)
-            neg = jnp.float32(-1e30)
-            zm = jnp.where(mask_bool, z, neg)
-            m = jax.lax.pmax(jnp.max(zm, axis=-1, keepdims=True), MODEL_AXIS)
-            e = jnp.where(mask_bool, jnp.exp(zm - m), 0.0)
-            s = jax.lax.psum(jnp.sum(e, axis=-1, keepdims=True), MODEL_AXIS)
-            # a fully-masked frame has s == 0; emit an all-zero row instead
-            # of NaN, matching masked_softmax_active_only and the kernels
-            return e / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
-        return _sharded_softmax(z, valid)
+        return _sharded_posteriors_from_logits(
+            z, rest[0] if rest else None, valid, semantics
+        )
 
     key = (
         mesh,
@@ -209,14 +418,18 @@ def score_shard_map(
         interpret,
         semantics,
         out_dim,
+        input_precision,
+        hidden_blocks,
+        out_blocks,
     )
-    if key not in _SHARD_MAP_CACHE:
-        _SHARD_MAP_CACHE[key] = jax.jit(
+    return _cache_get(
+        key,
+        lambda: jax.jit(
             shard_map(
                 body,
                 mesh=mesh,
                 in_specs=tuple(in_specs),
                 out_specs=P(DATA_AXIS, MODEL_AXIS),
             )
-        )
-    return _SHARD_MAP_CACHE[key](*args)
+        ),
+    )(*args)

@@ -211,24 +211,17 @@ def cmd_dots():
     print(f"xla bf16->f32  {t*1e3:7.3f} ms  {fl/t/1e12:6.1f} T", flush=True)
 
 
-def cmd_trace():
+def _trace_scorer(sc, label: str, reps: int = 3):
+    """Device-trace sc._score on a flagship batch, print per-kernel times."""
     import collections
     import glob
     import gzip
     import json
     import tempfile
 
-    from fastdnn_tpu.config import EngineConfig
-    from fastdnn_tpu.engine.scorer import Scorer
-    from fastdnn_tpu.models.feedforward import random_net
-    from fastdnn_tpu.quant.quantize import quantize_net
-
-    net = random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
-    sc = Scorer(quantize_net(net), EngineConfig(backend="pallas"))
     frames = np.random.default_rng(0).standard_normal((B, 432)).astype(np.float32)
     padded, _ = sc._prepare(frames)
     jax.block_until_ready(sc._score(sc.net, padded))  # compile
-    reps = 3
     with tempfile.TemporaryDirectory() as td:
         with jax.profiler.trace(td):
             for _ in range(reps):
@@ -240,7 +233,7 @@ def cmd_trace():
                 if e.get("ph") == "X" and "dur" in e and not e["name"].startswith("$"):
                     durs[e["name"]] += e["dur"]
     total = None
-    print(f"flagship full pass, batch {B} (ms per call, device time):")
+    print(f"{label}, batch {B} (ms per call, device time):")
     for name, us in sorted(durs.items(), key=lambda kv: -kv[1]):
         ms = us / (reps * 1e3)
         if name.startswith("jit_"):
@@ -251,8 +244,52 @@ def cmd_trace():
         fps = B / (total / 1e3)
         print(f"total {total:.3f} ms -> {fps:,.0f} frames/s = "
               f"{fps/100:,.0f} audio-s/s device-side")
+    return durs
+
+
+def _flagship_scorer(mesh=None):
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    net = random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
+    return Scorer(quantize_net(net), EngineConfig(backend="pallas"), mesh=mesh)
+
+
+def cmd_trace():
+    _trace_scorer(_flagship_scorer(), "flagship full pass")
+
+
+def cmd_trace_mesh():
+    """Trace the mesh-wrapped engine on the single real chip (1x1 mesh) and
+    diff its kernel inventory against the plain single-device program: the
+    shard_map wrapper must add NO copies/transposes/collectives — proving
+    the production sharded path runs the identical tuned kernel stack."""
+    from fastdnn_tpu.parallel.mesh import make_mesh
+
+    plain = _trace_scorer(_flagship_scorer(), "single-device")
+    mesh = _trace_scorer(
+        _flagship_scorer(make_mesh(data=1, model=1)), "mesh(1,1) shard_map"
+    )
+
+    def kernels(durs):
+        return {
+            n for n, us in durs.items()
+            if us > 10 and not n.startswith(("jit_", "PjitFunction", "PythonRef",
+                                             "Parse", "buffer", "Transfer"))
+        }
+
+    extra = kernels(mesh) - kernels(plain)
+    print("\nkernels only in the mesh-wrapped program:", sorted(extra) or "NONE")
 
 
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "trace"
-    {"trace": cmd_trace, "variants": cmd_variants, "stages": cmd_stages, "dots": cmd_dots}[what]()
+    {
+        "trace": cmd_trace,
+        "trace-mesh": cmd_trace_mesh,
+        "variants": cmd_variants,
+        "stages": cmd_stages,
+        "dots": cmd_dots,
+    }[what]()
