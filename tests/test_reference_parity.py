@@ -73,3 +73,102 @@ def test_reference_tolerance_gate_semantics(golden):
     ours = Scorer(qnet, EngineConfig(backend="xla")).score(frames)
     flagged = (np.abs(ours - ref).sum(axis=0) > 0.1).sum()
     assert flagged == 0
+
+
+class TestFlagshipScale:
+    """Cross-engine agreement at the flagship 7x2048/8000 shape, built by
+    the reference's own big-net recipe (FuncTest.java:21-28: small net ->
+    extend(2048, 8000) -> saveBinary).  The 165 MB extended model is not
+    checked in: it re-derives deterministically (pure numpy circular
+    cloning, no PRNG) from the checked-in seed, and the golden posteriors
+    came from the compiled reference engine scoring that exact model.
+
+    This is the scale where quantizer dynamics differ from the toy net:
+    per-layer multipliers over 2048-wide layers, softmax over 8000 senones
+    (7900 of them the recipe's zero-weight synthetic columns, which dilute
+    every posterior — the reference's own FuncTest workload has the same
+    property and gates only summed |dp|, not argmax).
+    """
+
+    @pytest.fixture(scope="class")
+    def flagship(self):
+        from fastdnn_tpu.models.feedforward import extend
+
+        seed = from_raw(read_model(os.path.join(GOLDEN, "flagship_seed_model.bin")))
+        big = extend(seed, 2048, 8000)
+        assert [w.shape for w in big.weights[1:]] == [(2048, 2048)] * 6 + [(2048, 8000)]
+        ref = read_features(os.path.join(GOLDEN, "flagship_ref_posteriors.bin"))
+        frames = read_features(FEATURES)[: ref.shape[0]]
+        return big, frames, ref
+
+    def test_posteriors_match_reference_engine(self, flagship):
+        big, frames, ref = flagship
+        qnet = quantize_net(big, cutoff=3.0)
+        ours = Scorer(qnet, EngineConfig(backend="xla")).score(frames)
+        assert ours.shape == ref.shape == (32, 8000)
+        d = np.abs(ours - ref)
+        assert d.max() < 5e-4, f"max |dp| {d.max():.2e} vs reference at flagship scale"
+        # 10x tighter than the reference's own 0.1 acceptance gate
+        assert d.sum(axis=0).max() < 0.01
+        # argmax must agree wherever the winner is resolvable above the
+        # cross-engine noise floor (the synthetic zero columns flatten
+        # posteriors, so unconditional argmax equality would gate on
+        # tie-breaking noise)
+        margin = np.sort(ref, axis=1)
+        resolvable = (margin[:, -1] - margin[:, -2]) > 5e-6
+        assert resolvable.any()
+        np.testing.assert_array_equal(
+            ours[resolvable].argmax(1), ref[resolvable].argmax(1)
+        )
+
+
+class TestQuantizerDivergence:
+    """The one DOCUMENTED divergence from the reference, measured instead of
+    asserted by reasoning: the reference fails to clamp positive weight
+    outliers before rounding (its max-side clamp tests minWeight > maxWeight,
+    /root/reference/src/cpp/dnn.cc:496-498), so w > cutoff quantizes to
+    round(w * multiplier) > 127 and overflows signed char (e.g. 5.0 * 42 ->
+    210 -> -46).  Our quantizer clamps both sides (quant/quantize.py).  The
+    golden model plants 24 positive outliers in (3.5, 6.0); the golden
+    posteriors are the compiled reference engine's actual output on it.
+    """
+
+    @pytest.fixture(scope="class")
+    def divergence(self):
+        raw = read_model(os.path.join(GOLDEN, "divergence_model.bin"))
+        ref = read_features(os.path.join(GOLDEN, "divergence_ref_posteriors.bin"))
+        frames = read_features(FEATURES)
+        return raw, frames, ref
+
+    def test_divergence_is_real_and_bounded(self, divergence):
+        raw, frames, ref = divergence
+        qnet = quantize_net(from_raw(raw), cutoff=3.0)
+        ours = Scorer(qnet, EngineConfig(backend="xla")).score(frames)
+        per_senone = np.abs(ours - ref).sum(axis=0)
+        # the divergence EXISTS (the golden genuinely exercises the path:
+        # the reference's own 0.1 gate would flag it)...
+        assert per_senone.max() > 0.5
+        # ...but stays bounded: posterior-level damage from 24 overflowed
+        # weights out of ~37k (argmax unaffected on this workload)
+        assert per_senone.max() < 5.0
+        np.testing.assert_array_equal(ours.argmax(1), ref.argmax(1))
+
+    def test_our_clamp_is_closer_to_float_oracle(self, divergence):
+        """The fix must be an improvement, not just a difference: against
+        the float forward pass (the reference's own accuracy oracle,
+        FuncTest.java:59-74), our clamped quantization shows ~10x less
+        total error than the reference's overflowing quantization."""
+        from fastdnn_tpu.models.feedforward import forward
+
+        raw, frames, ref = divergence
+        net = from_raw(raw)
+        oracle = np.asarray(forward(net, frames))
+        ours = Scorer(quantize_net(net, cutoff=3.0), EngineConfig(backend="xla")).score(
+            frames
+        )
+        err_ours = np.abs(ours - oracle).sum()
+        err_ref = np.abs(ref - oracle).sum()
+        assert err_ours * 5 < err_ref, (
+            f"clamped quantization (total |err| {err_ours:.2f}) should beat "
+            f"the reference's overflow (total |err| {err_ref:.2f}) by >= 5x"
+        )
