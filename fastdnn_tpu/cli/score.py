@@ -37,6 +37,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cutoff", type=float, default=3.0, help="weight quantization cutoff")
     p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument(
+        "--mesh-model",
+        type=int,
+        default=0,
+        help="tensor-parallel size for the senone axis (0 = single device); "
+        "frames go data-parallel over the remaining devices",
+    )
+    p.add_argument(
+        "--mesh-data",
+        type=int,
+        default=None,
+        help="data-parallel size (default: all devices not used by --mesh-model)",
+    )
+    p.add_argument(
         "--mask-density",
         type=float,
         default=None,
@@ -96,7 +109,13 @@ def main(argv=None) -> int:
 
     net = from_raw(raw)
     qnet = quantize_net(net, cutoff=args.cutoff)
-    scorer = Scorer(qnet, EngineConfig(backend=args.backend))
+    mesh = None
+    if args.mesh_model or args.mesh_data:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model or 1)
+        print(f"Mesh        = data={mesh.shape['data']} x model={mesh.shape['model']}")
+    scorer = Scorer(qnet, EngineConfig(backend=args.backend), mesh=mesh)
 
     if utts is not None:
         t0 = time.perf_counter()

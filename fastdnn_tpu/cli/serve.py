@@ -144,6 +144,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-batch-frames", type=int, default=8192)
     p.add_argument("--max-wait-ms", type=float, default=3.0)
     p.add_argument(
+        "--mesh-model",
+        type=int,
+        default=0,
+        help="tensor-parallel size for the senone axis (0 = no mesh: plain "
+        "single-device scorer); with a mesh, frames are data-parallel over "
+        "the remaining devices",
+    )
+    p.add_argument(
+        "--mesh-data",
+        type=int,
+        default=None,
+        help="data-parallel size (default: all devices not used by --mesh-model)",
+    )
+    p.add_argument(
+        "--coordinator",
+        default=None,
+        help="multi-host: jax.distributed coordinator address host:port "
+        "(requires --num-processes/--process-id); process 0 serves TCP, "
+        "the rest run the scoring worker loop",
+    )
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument(
         "--warmup",
         action="store_true",
         help="pre-compile the common frame buckets before accepting clients "
@@ -153,17 +176,44 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def make_server(args) -> ScoreServer:
+def build_scorer(args):
+    """Model load + quantize + (optionally meshed / multi-host) scorer.
+
+    Returns the scorer; in a multi-process launch, non-coordinator
+    processes get a MultiHostScorer whose worker_loop the caller must run.
+    """
     from ..config import EngineConfig
-    from ..engine.scorer import Scorer
-    from ..engine.stream import StreamingScorer
     from ..formats.binary import read_model
     from ..models.feedforward import from_raw
     from ..quant.quantize import quantize_net
 
+    if getattr(args, "coordinator", None):
+        from ..parallel.mesh import init_multihost
+
+        init_multihost(
+            args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     raw = read_model(args.model)
     qnet = quantize_net(from_raw(raw), cutoff=args.cutoff)
-    scorer = Scorer(qnet, EngineConfig(backend=args.backend))
+    cfg = EngineConfig(backend=args.backend)
+    mesh_model = getattr(args, "mesh_model", 0)
+    if not mesh_model and not getattr(args, "coordinator", None):
+        from ..engine.scorer import Scorer
+
+        return Scorer(qnet, cfg), raw
+    from ..parallel.mesh import make_mesh
+    from ..parallel.service import MultiHostScorer
+
+    mesh = make_mesh(data=getattr(args, "mesh_data", None), model=mesh_model or 1)
+    return MultiHostScorer(qnet, cfg, mesh), raw
+
+
+def make_server(args) -> ScoreServer:
+    from ..engine.stream import StreamingScorer
+
+    scorer, raw = build_scorer(args)
     stream = StreamingScorer(
         scorer,
         max_batch_frames=args.max_batch_frames,
@@ -181,6 +231,13 @@ def make_server(args) -> ScoreServer:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.coordinator and args.process_id not in (None, 0):
+        # worker process of a multi-host launch: no TCP, just mirror the
+        # coordinator's device calls until it broadcasts stop
+        scorer, raw = build_scorer(args)
+        print(f"worker {args.process_id}: Network = {raw.topology()}", flush=True)
+        scorer.worker_loop()
+        return 0
     server = make_server(args)
     host, port = server.server_address[:2]
     print(f"serving on {host}:{port}", flush=True)
@@ -191,6 +248,8 @@ def main(argv=None) -> int:
     finally:
         server.shutdown()
         server.stream.close()
+        if hasattr(server.stream._scorer, "close"):
+            server.stream._scorer.close()  # release multi-host workers
     return 0
 
 

@@ -89,9 +89,21 @@ def qnet_shardings(mesh: Mesh):
 
 
 def shard_qnet(qnet, mesh: Mesh):
-    """Place a QuantizedNet on the mesh with the layout above."""
+    """Place a QuantizedNet on the mesh with the layout above.
+
+    Works on multi-process meshes too: every process holds the same host
+    net (deterministic load), and each materializes only its addressable
+    shards.
+    """
     shardings = qnet_shardings(mesh)(qnet)
-    return jax.device_put(qnet, shardings)
+    if len(mesh.devices.flat) == len([d for d in mesh.devices.flat if d.process_index == jax.process_index()]):
+        return jax.device_put(qnet, shardings)
+
+    def place(leaf, sharding):
+        arr = np.asarray(leaf)
+        return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+    return jax.tree_util.tree_map(place, qnet, shardings)
 
 
 def frames_sharding(mesh: Mesh) -> NamedSharding:

@@ -25,14 +25,73 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def serve_mode(num: int, pid: int, out_dir: str) -> int:
+    """End-to-end multi-host SERVING: process 0 runs the TCP score server
+    over a MultiHostScorer (StreamingScorer batching on top), scores
+    utterances through a real socket client, and saves the results;
+    process 1 runs the scoring worker loop.  The driver test compares the
+    saved posteriors against the single-process engine."""
+    import numpy as np
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.parallel.mesh import make_mesh
+    from fastdnn_tpu.parallel.service import MultiHostScorer
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    net = random_net(jax.random.PRNGKey(5), 32, [64, 64], 32)
+    qnet = quantize_net(net)
+    mesh = make_mesh(model=2)  # (data=4, model=2) across the 2 processes
+    scorer = MultiHostScorer(qnet, EngineConfig(backend="xla"), mesh, heartbeat_s=0.5)
+
+    if pid != 0:
+        scorer.worker_loop()
+        return 0
+
+    import threading
+
+    from fastdnn_tpu.cli.serve import ScoreClient, ScoreServer
+    from fastdnn_tpu.engine.stream import StreamingScorer
+
+    stream = StreamingScorer(scorer, max_batch_frames=256, max_wait_ms=2.0)
+    server = ScoreServer(("127.0.0.1", 0), stream)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(7)
+        client = ScoreClient(*server.server_address[:2])
+        utts = [rng.standard_normal((n, 32)).astype(np.float32) for n in (9, 17, 5)]
+        posts = [client.score(u) for u in utts]
+        masks = (rng.random((utts[0].shape[0], scorer.output_dim)) < 0.5).astype(np.uint8)
+        post_masked = client.score(utts[0], masks)
+        stats = client.stats()
+        assert stats["output_dim"] == scorer.output_dim
+        client.close()
+        np.savez(
+            os.path.join(out_dir, "serve_posteriors.npz"),
+            *posts,
+            masked=post_masked,
+            frames0=utts[0], frames1=utts[1], frames2=utts[2], masks=masks,
+        )
+    finally:
+        server.shutdown()
+        stream.close()
+        scorer.close()
+    return 0
+
+
 def main() -> int:
     coord, num, pid, out_dir = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "gspmd"
     from fastdnn_tpu.parallel.mesh import init_multihost
 
     init_multihost(coord, num_processes=num, process_id=pid)
     assert jax.process_count() == num, jax.process_count()
     devices = jax.devices()
     assert len(devices) == 4 * num, len(devices)
+
+    if mode == "serve":
+        return serve_mode(num, pid, out_dir)
 
     import numpy as np
 

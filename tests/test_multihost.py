@@ -25,15 +25,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_mesh_matches_single_process(tmp_path):
+def _run_workers(tmp_path, mode: str) -> None:
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = REPO
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, coord, "2", str(pid), str(tmp_path)],
+            [sys.executable, WORKER, coord, "2", str(pid), str(tmp_path), mode],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -48,6 +47,11 @@ def test_two_process_mesh_matches_single_process(tmp_path):
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+
+@pytest.mark.slow
+def test_two_process_mesh_matches_single_process(tmp_path):
+    _run_workers(tmp_path, "gspmd")
 
     gathered = np.load(tmp_path / "multihost_post.npy")
 
@@ -65,3 +69,33 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     expected = Scorer(qnet, EngineConfig(backend="xla")).score(frames)
     assert gathered.shape == expected.shape
     np.testing.assert_allclose(gathered, expected, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_tcp_serving_matches_single_process(tmp_path):
+    """Multi-chip SERVING end to end (VERDICT r1 next-step #4): process 0
+    runs the TCP score server over a 2-process (data=4, model=2) mesh with
+    StreamingScorer batching; a real socket client scores utterances
+    (masked and unmasked); posteriors must equal the single-device engine."""
+    _run_workers(tmp_path, "serve")
+
+    data = np.load(tmp_path / "serve_posteriors.npz")
+
+    import jax
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    qnet = quantize_net(random_net(jax.random.PRNGKey(5), 32, [64, 64], 32))
+    single = Scorer(qnet, EngineConfig(backend="xla"))
+    for i in range(3):
+        got = data[f"arr_{i}"]
+        want = single.score(data[f"frames{i}"])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    np.testing.assert_allclose(
+        data["masked"],
+        single.score_masked(data["frames0"], data["masks"]),
+        atol=1e-5,
+    )
