@@ -100,15 +100,19 @@ class EngineConfig:
     #: "active_only" renormalizes over active senones instead.
     lazy_semantics: Literal["reference", "active_only"] = "reference"
     #: masked-output strategy: "dense" always runs the full output matmul
-    #: with post-masking (optimal at batch); "gathered" computes only the
-    #: union of active senone columns (optimal at small batch / latency);
-    #: "auto" picks gathered for small frame counts when the union fits.
+    #: with post-masking; "gathered" computes only the union of active
+    #: senone columns; "auto" picks the measured-best strategy, which on
+    #: v5e is DENSE at every batch size and density (the resident output
+    #: kernel reads the weights once at HBM speed-of-light, while the
+    #: gathered path materializes the gathered columns as a new matrix —
+    #: extra traffic that exceeds the read it saves: 0.079 vs 0.12-0.28
+    #: device-ms/call at B in {1,8,32}, densities 0.05/0.40; table in
+    #: BENCHMARKS.md).  "gathered" remains for output layers so large the
+    #: full read itself is the bottleneck (far beyond 8k senones).
     lazy_mode: Literal["auto", "dense", "gathered"] = "auto"
     #: capacity (fraction of output nodes) for the gathered lazy matmul;
-    #: masks denser than this fall back to the dense masked path.
+    #: unions above it raise (explicit "gathered" mode only).
     lazy_capacity: float = 0.6
-    #: frame-count threshold below which "auto" prefers the gathered path
-    lazy_gather_max_frames: int = 128
 
     def resolve_backend(self, platform: str) -> str:
         if self.backend != "auto":

@@ -553,9 +553,9 @@ class Scorer:
     def score_masked(self, frames, masks) -> np.ndarray:
         """Lazy path, whole utterance at once: masks [n, out] (nonzero=active).
 
-        Strategy per config.lazy_mode: dense masked matmul (batch-optimal) or
-        capacity-bounded gathered matmul over the union of active senones
-        (latency-optimal at small frame counts); "auto" picks by size.
+        Strategy per config.lazy_mode: the dense masked matmul (measured
+        optimal at every batch size/density on v5e — see config.lazy_mode)
+        unless "gathered" is explicitly configured.
         """
         frames = np.asarray(frames, dtype=np.float32)
         masks = np.asarray(masks)
@@ -578,20 +578,20 @@ class Scorer:
 
     def _use_gathered(self, n_frames: int, masks: np.ndarray) -> bool:
         mode = self.config.lazy_mode
-        if mode == "dense" or self.mesh is not None:
-            return False
-        if mode == "auto" and n_frames > self.config.lazy_gather_max_frames:
-            # cheap reject before the O(frames x senones) union scan
+        if mode != "gathered" or self.mesh is not None:
+            # "auto" resolves to dense: measured on v5e, the dense masked
+            # output wins at EVERY batch size and density (the gathered
+            # path's column materialization costs more HBM traffic than
+            # the full weight read it avoids — see config.lazy_mode and
+            # BENCHMARKS.md).  Gathered runs only on explicit request.
             return False
         union = int(masks.any(axis=0).sum())
         if union > self._gather_capacity:
-            if mode == "gathered":
-                raise ValueError(
-                    f"active union {union} exceeds gather capacity "
-                    f"{self._gather_capacity}; raise config.lazy_capacity or "
-                    "use lazy_mode='dense'"
-                )
-            return False
+            raise ValueError(
+                f"active union {union} exceeds gather capacity "
+                f"{self._gather_capacity}; raise config.lazy_capacity or "
+                "use lazy_mode='dense'"
+            )
         return True
 
     def score_utterances(self, utterances):

@@ -257,6 +257,79 @@ def _flagship_scorer(mesh=None):
     return Scorer(quantize_net(net), EngineConfig(backend="pallas"), mesh=mesh)
 
 
+def _device_total_ms(thunk, reps: int = 5) -> float:
+    """Sum of top-level jit_* device times per call (exact, via profiler)."""
+    import collections
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    jax.block_until_ready(thunk())  # compile
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(reps):
+                jax.block_until_ready(thunk())
+        path = sorted(glob.glob(f"{td}/plugins/profile/*/*.trace.json.gz"))[-1]
+        durs = collections.defaultdict(float)
+        with gzip.open(path) as fh:
+            for e in json.load(fh).get("traceEvents", []):
+                if e.get("ph") == "X" and "dur" in e and e["name"].startswith("jit_"):
+                    durs[e["name"]] += e["dur"]
+    return sum(durs.values()) / (reps * 1e3)
+
+
+def cmd_gathered():
+    """Gathered vs dense masked output at decoder batch sizes (B=1/8/32).
+
+    Masks are EVOLVING (FuncTest-style churn, like a real beam) so the
+    union across the block stays near the per-frame density — the regime
+    engine/lazy.py exists for.  Device time only (host union-index build
+    excluded; it overlaps the hidden pass in streaming use).
+    """
+    import numpy as np
+
+    from fastdnn_tpu.cli.score import generate_masks
+    from fastdnn_tpu.engine.lazy import union_active_indices
+
+    sc = _flagship_scorer()
+    frames_all = np.random.default_rng(0).standard_normal((32, 432)).astype(np.float32)
+    print("flagship masked output (device ms/call):")
+    print(f"{'dens':>5} {'B':>4} {'union':>6} {'dense':>9} {'gathered':>9} {'ratio':>6}")
+    # 0.40 = the README's typical decoder density; 0.05 = the tight-beam
+    # regime the beam_decoder example actually produced (density 0.03)
+    cases = [(d, b) for d in (0.4, 0.05) for b in (1, 8, 32)]
+    masks_by_d = {
+        d: generate_masks(np.random.default_rng(1), 32, sc.output_dim, d, churn_frac=0.02)
+        for d in (0.4, 0.05)
+    }
+    for d, b in cases:
+        frames = frames_all[:b]
+        masks = masks_by_d[d][:b]
+        padded, n = sc._prepare(frames)
+        masks_p = sc._pad_masks(masks, padded.shape[0])
+        mp = jnp.asarray(masks_p)
+        # measurement capacity sized to the union (the engine's auto mode
+        # would fall back to dense when the union exceeds its capacity)
+        union = int(masks_p.any(axis=0).sum())
+        cap = -(-union // 128) * 128
+        idx, count = union_active_indices(masks_p, cap)
+        idxj = jnp.asarray(idx)
+
+        dense_ms = _device_total_ms(lambda: sc._score_masked(sc.net, padded, mp))
+
+        def gathered_call():
+            acts = sc._hidden(sc.net, padded)
+            return sc._gathered(sc.net, acts, mp, idxj)
+
+        gath_ms = _device_total_ms(gathered_call)
+        print(
+            f"{d:>5.2f} {b:>4} {count:>6} {dense_ms:>9.3f} {gath_ms:>9.3f} "
+            f"{dense_ms / gath_ms:>6.2f}x",
+            flush=True,
+        )
+
+
 def cmd_trace():
     _trace_scorer(_flagship_scorer(), "flagship full pass")
 
@@ -292,4 +365,5 @@ if __name__ == "__main__":
         "variants": cmd_variants,
         "stages": cmd_stages,
         "dots": cmd_dots,
+        "gathered": cmd_gathered,
     }[what]()
