@@ -222,17 +222,24 @@ class StreamingScorer:
         return (out, n)
 
     def _dispatch_masked(self, frames: np.ndarray, masks: np.ndarray):
-        """Async masked dispatch (dense path); gathered path stays sync
-        (its index-building is host-side anyway)."""
+        """Async masked dispatch: BOTH strategies return the in-flight
+        device array, so masked streams keep the double-buffering (the
+        gathered branch's union-index build is host-side, but the device
+        call it feeds still overlaps the next batch's assembly)."""
         sc = self._scorer
         masks = (masks != 0).astype(np.uint8)
-        if sc._use_gathered(frames.shape[0], masks):
-            return sc.score_masked(frames, masks)
         padded, n = sc._prepare(frames)
         masks_p = sc._pad_masks(masks, padded.shape[0])
         import jax.numpy as jnp
 
-        out = sc._score_masked(sc.net, padded, jnp.asarray(masks_p))
+        if sc._use_gathered(frames.shape[0], masks_p):
+            from .lazy import union_active_indices
+
+            idx, _ = union_active_indices(masks_p, sc._gather_capacity)
+            acts = sc._hidden(sc.net, padded)
+            out = sc._gathered(sc.net, acts, jnp.asarray(masks_p), jnp.asarray(idx))
+        else:
+            out = sc._score_masked(sc.net, padded, jnp.asarray(masks_p))
         return (out, n)
 
     def _resolve(self, group, counts, out) -> None:

@@ -91,19 +91,23 @@ class RawNetwork:
 
 
 class _Reader:
-    """Cursor over a fully-slurped big-endian byte buffer."""
+    """Cursor over a fully-slurped byte buffer (big-endian by default,
+    little-endian via flag — the BinaryLoader endianness switch,
+    /root/reference/src/cpp/float_dnn.cc:166,19)."""
 
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, little_endian: bool = False):
         self._buf = buf
         self._pos = 0
+        self._i4 = np.dtype("<i4") if little_endian else _BE_I4
+        self._f4 = np.dtype("<f4") if little_endian else _BE_F4
 
     def read_i32(self) -> int:
-        v = np.frombuffer(self._buf, _BE_I4, count=1, offset=self._pos)[0]
+        v = np.frombuffer(self._buf, self._i4, count=1, offset=self._pos)[0]
         self._pos += 4
         return int(v)
 
     def read_f32_array(self, count: int) -> np.ndarray:
-        v = np.frombuffer(self._buf, _BE_F4, count=count, offset=self._pos)
+        v = np.frombuffer(self._buf, self._f4, count=count, offset=self._pos)
         self._pos += 4 * count
         return v.astype(np.float32)
 
@@ -128,13 +132,19 @@ def _native_io():
         return None
 
 
-def read_model(f: PathOrFile) -> RawNetwork:
-    """Parse a reference-format binary model file."""
-    if not hasattr(f, "read"):
+def read_model(f: PathOrFile, *, little_endian: bool = False) -> RawNetwork:
+    """Parse a reference-format binary model file.
+
+    `little_endian` mirrors the reference BinaryLoader's endianness flag
+    (/root/reference/src/cpp/float_dnn.cc:166) — the reference always
+    constructs it big-endian for models (float_dnn.cc:19), but the flag is
+    part of the loader surface.  The native fast path is BE-only.
+    """
+    if not hasattr(f, "read") and not little_endian:
         nat = _native_io()
         if nat is not None:
             return nat.read_model(f)
-    r = _Reader(_slurp(f))
+    r = _Reader(_slurp(f), little_endian=little_endian)
     layer_count = r.read_i32()
     if not 0 < layer_count < 10_000:
         raise ValueError(f"implausible layer count {layer_count}")
@@ -151,17 +161,19 @@ def read_model(f: PathOrFile) -> RawNetwork:
     return RawNetwork(layers, shift, scale)
 
 
-def write_model(net: RawNetwork, f: PathOrFile) -> None:
+def write_model(net: RawNetwork, f: PathOrFile, *, little_endian: bool = False) -> None:
     """Write a RawNetwork in the reference binary model format."""
+    i4 = np.dtype("<i4") if little_endian else _BE_I4
+    f4 = np.dtype("<f4") if little_endian else _BE_F4
     out = io.BytesIO()
-    out.write(np.array([len(net.layers)], _BE_I4).tobytes())
+    out.write(np.array([len(net.layers)], i4).tobytes())
     for layer in net.layers:
-        out.write(np.array([layer.input_dim], _BE_I4).tobytes())
-        out.write(np.array([layer.output_dim], _BE_I4).tobytes())
-        out.write(np.ascontiguousarray(layer.weights, dtype=np.float32).astype(_BE_F4).tobytes())
-        out.write(np.ascontiguousarray(layer.bias, dtype=np.float32).astype(_BE_F4).tobytes())
-    out.write(np.ascontiguousarray(net.shift, dtype=np.float32).astype(_BE_F4).tobytes())
-    out.write(np.ascontiguousarray(net.scale, dtype=np.float32).astype(_BE_F4).tobytes())
+        out.write(np.array([layer.input_dim], i4).tobytes())
+        out.write(np.array([layer.output_dim], i4).tobytes())
+        out.write(np.ascontiguousarray(layer.weights, dtype=np.float32).astype(f4).tobytes())
+        out.write(np.ascontiguousarray(layer.bias, dtype=np.float32).astype(f4).tobytes())
+    out.write(np.ascontiguousarray(net.shift, dtype=np.float32).astype(f4).tobytes())
+    out.write(np.ascontiguousarray(net.scale, dtype=np.float32).astype(f4).tobytes())
     data = out.getvalue()
     if hasattr(f, "write"):
         f.write(data)

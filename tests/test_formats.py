@@ -181,3 +181,28 @@ def test_feature_endianness_flag(tmp_path):
     # big-endian header bytes: frames=6 as 00 00 00 06
     assert (tmp_path / "f_False.bin").read_bytes()[:4] == b"\x00\x00\x00\x06"
     assert (tmp_path / "f_True.bin").read_bytes()[:4] == b"\x06\x00\x00\x00"
+
+
+def test_model_little_endian_roundtrip(tmp_path):
+    """The reference BinaryLoader carries an endianness flag
+    (/root/reference/src/cpp/float_dnn.cc:166,19); model IO here supports
+    both byte orders (the reference only ever writes models big-endian)."""
+    import jax
+
+    from fastdnn_tpu.formats.binary import read_model, write_model
+    from fastdnn_tpu.models.feedforward import random_net, to_raw
+
+    raw = to_raw(random_net(jax.random.PRNGKey(9), 12, [16], 20))
+    be, le = tmp_path / "m_be.bin", tmp_path / "m_le.bin"
+    write_model(raw, be)
+    write_model(raw, le, little_endian=True)
+    # different bytes, same parse
+    assert be.read_bytes() != le.read_bytes()
+    assert be.stat().st_size == le.stat().st_size
+    back = read_model(le, little_endian=True)
+    ref = read_model(be)
+    for a, b in zip(back.layers, ref.layers):
+        np.testing.assert_array_equal(a.weights, b.weights)
+        np.testing.assert_array_equal(a.bias, b.bias)
+    np.testing.assert_array_equal(back.shift, ref.shift)
+    np.testing.assert_array_equal(back.scale, ref.scale)
