@@ -44,12 +44,25 @@ def quantized_sigmoid_u8(x: jnp.ndarray) -> jnp.ndarray:
     rounds there — round(sigmoid(-6.4)*255) = round(0.423) = 0 and
     round(sigmoid(6.4)*255) = round(254.58) = 255, with ~0.08 margin, far
     above f32 noise.  (Bit-exactness vs the rebuilt LUT is test-gated.)
+
+    Computed as 127.5 + 127.5*tanh(kc/200) == 255*sigmoid(kc/100): tanh is
+    one transcendental where the sigmoid form needs exp + divide — on v5e
+    this trims the input-layer fusion's epilogue the same way it trims the
+    Pallas hidden kernels (ops/pallas_kernels._quantized_sigmoid_shifted).
+    The two table entries whose margin (1.5e-4) sits below accelerator
+    tanh-approximation error (k = +/-513) are pinned explicitly;
+    tools/check_sigmoid.py verifies all 1281 entries bit-exact on-device
+    for BOTH backends, tests/test_quant.py on CPU.
     """
     half = float(SIGMOID_HALF_LOOKUP_SIZE)
     k = _round_half_away(x * SIGMOID_RESOLUTION)
     kc = jnp.clip(k, -half, half)
-    s = 1.0 / (1.0 + jnp.exp(-kc / SIGMOID_RESOLUTION))
-    q = jnp.floor(s * ACTIVATION_SCALE + 0.5)  # s >= 0: half-up == half-away
+    v = (ACTIVATION_SCALE / 2.0) + (ACTIVATION_SCALE / 2.0) * jnp.tanh(
+        kc * (0.5 / SIGMOID_RESOLUTION)
+    )
+    q = jnp.floor(v + 0.5)  # v >= 0: half-up == half-away
+    q = jnp.where(kc == 513.0, 254.0, q)
+    q = jnp.where(kc == -513.0, 1.0, q)
     return q.astype(jnp.uint8)
 
 
