@@ -87,6 +87,38 @@ def output_posteriors(
     )
 
 
+def output_flash_stats(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    masks: jax.Array | None,
+    *,
+    valid_count,
+    semantics: str = "reference",
+    interpret: bool = False,
+    block_frames: int = 512,
+    block_nodes: int = 512,
+):
+    """Local logits + un-normalized flash softmax stats (z, m, s) — the
+    kernel half of the tensor-parallel fused softmax (valid_count is the
+    dynamic per-shard real-senone cutoff)."""
+    return pk.output_layer_flash_stats(
+        acts_i8,
+        w_i8,
+        colsum128_i32,
+        inv_scale_f32,
+        bias_f32,
+        masks,
+        valid_count=valid_count,
+        semantics=semantics,
+        interpret=interpret,
+        block_frames=block_frames,
+        block_nodes=block_nodes,
+    )
+
+
 def hidden_stack_step(
     acts_i8: jax.Array,
     hstack,

@@ -393,7 +393,7 @@ def output_layer_posteriors_resident(
 
 
 def _stats_kernel_factory(
-    out_dim: int, bm: int, bn: int, masked: bool, semantics: str, z_dtype=jnp.float32
+    bm: int, bn: int, masked: bool, semantics: str, z_dtype=jnp.float32
 ):
     """Kernel computing output-logits blocks plus online softmax stats.
 
@@ -406,17 +406,20 @@ def _stats_kernel_factory(
     single read of the logits (exp(z - m)/s) instead of the two-read,
     one-write standalone softmax.
 
-    Columns >= out_dim are MXU padding (pad_qnet_for_tpu): they are excluded
-    from the stats via a large negative cap and never read by the epilogue,
-    which slices.
+    Columns at or beyond the DYNAMIC valid-count scalar (an SMEM operand)
+    are excluded from the stats via a large negative cap — MXU padding for
+    the single-device path (where the epilogue also slices them off), or
+    the shard-local senone cutoff for the tensor-parallel path (where the
+    valid count varies per shard and so cannot be a static kernel
+    attribute).
     """
 
     fast = z_dtype != jnp.float32
 
     def kernel(*refs):
         refs = list(refs)
-        x_ref, w_ref, colsum_ref, bias_ref, inv_ref = refs[:5]
-        del refs[:5]
+        x_ref, w_ref, colsum_ref, bias_ref, inv_ref, valid_ref = refs[:6]
+        del refs[:6]
         mask_ref = refs.pop(0) if masked else None
         z_ref, m_ref, s_ref = refs[:3]
         del refs[:3]
@@ -439,9 +442,9 @@ def _stats_kernel_factory(
                 z = jnp.where(mask_ref[:] != 0, z, 0.0)
             else:
                 z = jnp.where(mask_ref[:] != 0, z, NEG_CAP)
-        # exclude MXU padding columns from the stats
+        # exclude invalid (padding / out-of-shard) columns from the stats
         col = j * bn + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-        z = jnp.where(col < out_dim, z, NEG_CAP)
+        z = jnp.where(col < valid_ref[0, 0], z, NEG_CAP)
 
         rows = pl.ds(i * bm, bm)
 
@@ -517,6 +520,37 @@ def output_layer_posteriors(
     with non-negligible mass come out within ~0.3% relative.  Returned
     dtype is bfloat16; requires n <= 128 node blocks.
     """
+    outs, nj, bn = _flash_stats_call(
+        acts_i8, w_i8, colsum128_i32, inv_scale_f32, bias_f32, masks,
+        valid_count=jnp.int32(out_dim), semantics=semantics,
+        block_frames=block_frames, block_nodes=block_nodes,
+        interpret=interpret, fast=fast,
+    )
+    z_dtype = jnp.bfloat16 if fast else jnp.float32
+    # single fused pass: slice padding, normalize
+    if fast:
+        z, m, s, bmax = outs
+        # rebuild z = z_rel + blockmax(lane j); equal-repeat is a broadcast,
+        # so XLA fuses it into the normalize pass without materializing
+        bm_cols = jnp.repeat(bmax[:, :nj], bn, axis=1)[:, :out_dim]
+        p = jnp.exp(z[:, :out_dim].astype(jnp.float32) + bm_cols - m[:, :1]) / s[:, :1]
+    else:
+        z, m, s = outs
+        p = jnp.exp(z[:, :out_dim] - m[:, :1]) / s[:, :1]
+    # fully-masked active_only rows (running max still at the cap) -> zeros
+    p = jnp.where(m[:, :1] > -1e29, p, 0.0)
+    return p.astype(z_dtype)
+
+
+def _flash_stats_call(
+    acts_i8, w_i8, colsum128_i32, inv_scale_f32, bias_f32, masks, *,
+    valid_count, semantics, block_frames, block_nodes, interpret, fast,
+):
+    """Shared plumbing: one MXU pass producing logits + flash softmax
+    stats.  `valid_count` is a DYNAMIC int32 scalar (SMEM): columns at or
+    beyond it are capped out of the stats — MXU padding for single-device,
+    the shard-local senone cutoff for tensor-parallel shards (where the
+    count varies per shard).  Returns (pallas outputs, nj, bn)."""
     b, k = acts_i8.shape
     n = w_i8.shape[1]
     bm = min(block_frames, b)
@@ -538,6 +572,7 @@ def output_layer_posteriors(
         pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
     ]
     args = [
         acts_i8,
@@ -545,6 +580,7 @@ def output_layer_posteriors(
         colsum128_i32.reshape(1, n),
         bias_f32.reshape(1, n),
         jnp.asarray(inv_scale_f32, jnp.float32).reshape(1, 1),
+        jnp.asarray(valid_count, jnp.int32).reshape(1, 1),
     ]
     if masked:
         in_specs.append(pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM))
@@ -574,7 +610,7 @@ def output_layer_posteriors(
         out_shape.append(jax.ShapeDtypeStruct((b, LANES), jnp.float32))
         scratch.append(pltpu.VMEM((b, LANES), jnp.float32))
     outs = pl.pallas_call(
-        _stats_kernel_factory(out_dim, bm, bn, masked, semantics, z_dtype),
+        _stats_kernel_factory(bm, bn, masked, semantics, z_dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -587,19 +623,46 @@ def output_layer_posteriors(
         ),
         interpret=interpret,
     )(*args)
-    # single fused pass: slice padding, normalize
-    if fast:
-        z, m, s, bmax = outs
-        # rebuild z = z_rel + blockmax(lane j); equal-repeat is a broadcast,
-        # so XLA fuses it into the normalize pass without materializing
-        bm_cols = jnp.repeat(bmax[:, :nj], bn, axis=1)[:, :out_dim]
-        p = jnp.exp(z[:, :out_dim].astype(jnp.float32) + bm_cols - m[:, :1]) / s[:, :1]
-    else:
-        z, m, s = outs
-        p = jnp.exp(z[:, :out_dim] - m[:, :1]) / s[:, :1]
-    # fully-masked active_only rows (running max still at the cap) -> zeros
-    p = jnp.where(m[:, :1] > -1e29, p, 0.0)
-    return p.astype(z_dtype)
+    return outs, nj, bn
+
+
+def output_layer_flash_stats(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    masks: jax.Array | None = None,
+    *,
+    valid_count,
+    semantics: str = "reference",
+    block_frames: int = 512,
+    block_nodes: int = 512,
+    interpret: bool = False,
+):
+    """Local output logits + UN-normalized flash softmax stats, for the
+    tensor-parallel fused-softmax path: each shard runs this kernel over
+    its weight columns, then the globally-exact softmax needs only the
+    tiny cross-shard stat collectives
+
+        m = pmax(m_local);  s = psum(s_local * exp(m_local - m))
+        p = exp(z_local - m) / s
+
+    instead of an extra logits HBM round-trip.  `valid_count` is dynamic
+    (int32 scalar): the number of REAL senone columns in this shard
+    (0..n_local); capped columns carry z = -1e30 so exp(z - m) is 0.
+
+    Returns (z [B, n_local], m [B, 1], s [B, 1]); masked semantics applied
+    in-kernel like output_layer_posteriors.
+    """
+    outs, _, _ = _flash_stats_call(
+        acts_i8, w_i8, colsum128_i32, inv_scale_f32, bias_f32, masks,
+        valid_count=valid_count, semantics=semantics,
+        block_frames=block_frames, block_nodes=block_nodes,
+        interpret=interpret, fast=False,
+    )
+    z, m, s = outs
+    return z, m[:, :1], s[:, :1]
 
 
 @functools.partial(jax.jit, static_argnames=("block_frames", "block_nodes", "interpret"))

@@ -122,6 +122,43 @@ def _sharded_posteriors_from_logits(z, masks, valid, semantics):
     return e / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
 
 
+def _sharded_fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, out_blocks):
+    """Tensor-parallel FUSED softmax: each shard's flash-stats kernel emits
+    local logits plus un-normalized (max, sum-of-exp) in ONE MXU pass, so
+    the globally-exact softmax costs only two scalar-per-frame collectives
+    and a single fused read of the local logits — no extra logits HBM
+    round-trip like the logits-kernel + collective-softmax path.  The
+    kernel's valid-column cutoff is dynamic (the real-senone count varies
+    per shard), and masked semantics are applied in-kernel.
+    """
+    from ..engine import pallas_backend
+
+    n_local = net.weights[-1].shape[1]
+    shard = jax.lax.axis_index(MODEL_AXIS)
+    valid = jnp.clip(out_dim - shard * n_local, 0, n_local).astype(jnp.int32)
+    bkw = {}
+    if out_blocks is not None:
+        bkw = dict(block_frames=out_blocks[0], block_nodes=out_blocks[1])
+    z, m_l, s_l = pallas_backend.output_flash_stats(
+        acts,
+        net.weights[-1],
+        net.colsum128[-1],
+        net.inv_scales[-1],
+        net.biases[-1],
+        masks,
+        valid_count=valid,
+        semantics=semantics,
+        interpret=interpret,
+        **bkw,
+    )
+    m = jax.lax.pmax(m_l, MODEL_AXIS)
+    s = jax.lax.psum(s_l * jnp.exp(m_l - m), MODEL_AXIS)
+    p = jnp.exp(z - m) / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+    # rows whose GLOBAL max is still at the cap (fully-masked active_only
+    # frames, or shards past the senone cutoff everywhere) -> zeros
+    return jnp.where(m > jnp.float32(-1e29), p, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Production mesh programs (engine.Scorer(mesh=...))
 # ---------------------------------------------------------------------------
@@ -204,25 +241,25 @@ def make_mesh_programs(
         out_spec = P(DATA_AXIS, MODEL_AXIS)
         mask_spec = P(DATA_AXIS, MODEL_AXIS)
 
-        def score_body(net, frames):
-            acts = hidden_body(net, frames)
+        def _out(net, acts, masks):
+            if backend == "pallas" and fused_softmax:
+                return _sharded_fused_posteriors(
+                    net, acts, masks, out_dim=out_dim, semantics=semantics,
+                    interpret=interpret, out_blocks=out_blocks,
+                )
             z = output_logits(net, acts, backend, interpret, out_blocks)
             return _sharded_posteriors_from_logits(
-                z, None, _valid_cols(z.shape[-1], out_dim), semantics
+                z, masks, _valid_cols(z.shape[-1], out_dim), semantics
             )
+
+        def score_body(net, frames):
+            return _out(net, hidden_body(net, frames), None)
 
         def masked_body(net, frames, masks):
-            acts = hidden_body(net, frames)
-            z = output_logits(net, acts, backend, interpret, out_blocks)
-            return _sharded_posteriors_from_logits(
-                z, masks, _valid_cols(z.shape[-1], out_dim), semantics
-            )
+            return _out(net, hidden_body(net, frames), masks)
 
         def from_acts_body(net, acts, masks):
-            z = output_logits(net, acts, backend, interpret, out_blocks)
-            return _sharded_posteriors_from_logits(
-                z, masks, _valid_cols(z.shape[-1], out_dim), semantics
-            )
+            return _out(net, acts, masks)
 
     def _wrap(body, in_specs, out_specs, pin_layout=False):
         # check_vma=False: the static replication checker cannot see through

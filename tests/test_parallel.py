@@ -204,6 +204,48 @@ class TestMeshScorer:
                 mesh=pmesh.make_mesh(data=2, model=4),
             )
 
+    def test_fused_sharded_softmax_matches_logits_path(self, qnet, rng):
+        """model>1 + pallas + fused_softmax runs the flash-stats kernel per
+        shard with cross-shard stat collectives; it must equal both the
+        logits+collective-softmax sharded path and the single-device
+        engine, masked and unmasked, including fully-masked active_only
+        rows and a senone count that leaves one shard mostly padding."""
+        from fastdnn_tpu.models.feedforward import random_net
+
+        net = random_net(jax.random.PRNGKey(9), 432, [128, 128], 300)
+        q = quantize_net(net)  # 300 senones -> padded, shard cutoffs differ
+        frames = rng.standard_normal((64, 432)).astype(np.float32)
+        masks = (rng.random((64, 300)) < 0.4).astype(np.uint8)
+        masks[7] = 0
+        mesh = pmesh.make_mesh(data=2, model=4)
+        for semantics in ("reference", "active_only"):
+            single = Scorer(q, EngineConfig(backend="xla", lazy_semantics=semantics))
+            fused = Scorer(
+                q,
+                EngineConfig(
+                    backend="pallas", interpret=True, fused_softmax=True,
+                    lazy_semantics=semantics,
+                ),
+                mesh=mesh,
+            )
+            plain = Scorer(
+                q,
+                EngineConfig(
+                    backend="pallas", interpret=True, fused_softmax=False,
+                    lazy_semantics=semantics,
+                ),
+                mesh=mesh,
+            )
+            np.testing.assert_allclose(fused.score(frames), single.score(frames), atol=3e-5)
+            fm = fused.score_masked(frames, masks)
+            np.testing.assert_allclose(fm, plain.score_masked(frames, masks), atol=3e-5)
+            np.testing.assert_allclose(
+                fm, single.score_masked(frames, masks), atol=3e-5
+            )
+            if semantics == "active_only":
+                assert not np.isnan(fm).any()
+                np.testing.assert_array_equal(fm[7], 0.0)
+
     @pytest.mark.parametrize("backend_kw", [
         dict(backend="xla"),
         dict(backend="pallas", interpret=True),
