@@ -99,6 +99,21 @@ class TestScoreCLI:
         assert "432-1x64-50" in captured
         assert "calculation time" in captured
 
+    def test_score_mesh_flags_match_single_device(self, tmp_path, model_file, capsys):
+        """--mesh-model/--mesh-data route through Scorer(mesh=...) and must
+        reproduce the single-device posteriors."""
+        ref = tmp_path / "single.bin"
+        out = tmp_path / "meshed.bin"
+        feats = os.path.join(DATA, "16khz.bin")
+        assert score.main([model_file, feats, str(ref), "BIN", "--backend", "xla"]) == 0
+        rc = score.main(
+            [model_file, feats, str(out), "BIN", "--backend", "xla",
+             "--mesh-model", "2"]
+        )
+        assert rc == 0
+        assert "Mesh        = data=4 x model=2" in capsys.readouterr().out
+        np.testing.assert_allclose(read_features(out), read_features(ref), atol=2e-5)
+
     def test_score_lazy_masks(self, tmp_path, model_file):
         out = tmp_path / "post.txt"
         rc = score.main(
