@@ -21,6 +21,7 @@ Quick start::
 """
 
 from .config import EngineConfig
+from .decoder import BeamDecoder, Lexicon, random_lexicon
 from .engine.scorer import LazyContext, Scorer, score_fn, score_masked_fn
 from .engine.stream import StreamingScorer
 from .formats import binary as formats_binary
@@ -55,9 +56,13 @@ def load_model_text(network_path, transform_path) -> FeedForwardNet:
 
 
 __all__ = [
+    "BeamDecoder",
     "EngineConfig",
     "FeedForwardNet",
     "LazyContext",
+    "Lexicon",
+    "StreamingScorer",
+    "random_lexicon",
     "QuantizedNet",
     "RawNetwork",
     "Scorer",

@@ -121,6 +121,8 @@ class MultiHostScorer(Scorer):
     def _coordinated_score(self, net, padded, _masks=None):
         frames = np.asarray(padded, np.float32)
         with self._bcast_lock:
+            if self._closed:
+                raise RuntimeError("MultiHostScorer is closed (workers released)")
             _broadcast(np.array([OP_SCORE, frames.shape[0], frames.shape[1], 0], np.int32))
             _broadcast(frames)
             gf = _to_global(self.mesh, self._frames_spec, frames)
@@ -130,6 +132,8 @@ class MultiHostScorer(Scorer):
         frames = np.asarray(padded, np.float32)
         masks = np.asarray(masks, np.uint8)
         with self._bcast_lock:
+            if self._closed:
+                raise RuntimeError("MultiHostScorer is closed (workers released)")
             _broadcast(
                 np.array(
                     [OP_MASKED, frames.shape[0], frames.shape[1], masks.shape[1]],
@@ -166,26 +170,42 @@ class MultiHostScorer(Scorer):
     # -- worker side -----------------------------------------------------------
 
     def worker_loop(self) -> None:
-        """Processes != 0: mirror the coordinator's device calls until stop."""
+        """Processes != 0: mirror the coordinator's device calls until stop.
+
+        A failure here is FATAL for the pod — the coordinator's next
+        collective would hang against a dead worker — so errors are logged
+        loudly and re-raised instead of swallowed; supervisors should
+        treat a worker exit without a prior stop op as a pod restart.
+        """
         if not self._multi:
             return
         assert not self.is_coordinator, "worker_loop is for processes != 0"
-        while True:
-            op, n, d, m = _broadcast(np.zeros(4, np.int32))
-            if op == OP_STOP:
-                return
-            if op == OP_NOOP:
-                continue
-            frames = _broadcast(np.zeros((n, d), np.float32))
-            gf = _to_global(self.mesh, self._frames_spec, frames)
-            if op == OP_MASKED:
-                masks = _broadcast(np.zeros((n, m), np.uint8))
-                gm = _to_global(self.mesh, self._masks_spec, masks)
-                out = self._masked_prog(self.net, gf, gm)
-            else:
-                out = self._score_prog(self.net, gf)
-            # enter the coordinator's replicate collective and force it
-            self._replicate(out).block_until_ready()
+        try:
+            while True:
+                op, n, d, m = _broadcast(np.zeros(4, np.int32))
+                if op == OP_STOP:
+                    return
+                if op == OP_NOOP:
+                    continue
+                frames = _broadcast(np.zeros((n, d), np.float32))
+                gf = _to_global(self.mesh, self._frames_spec, frames)
+                if op == OP_MASKED:
+                    masks = _broadcast(np.zeros((n, m), np.uint8))
+                    gm = _to_global(self.mesh, self._masks_spec, masks)
+                    out = self._masked_prog(self.net, gf, gm)
+                else:
+                    out = self._score_prog(self.net, gf)
+                # enter the coordinator's replicate collective and force it
+                self._replicate(out).block_until_ready()
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).exception(
+                "multi-host scoring worker %d died; the pod's collectives "
+                "cannot make progress — restart all processes",
+                jax.process_index(),
+            )
+            raise
 
     # -- unsupported over multiple processes -----------------------------------
 

@@ -346,3 +346,22 @@ def test_shard_map_excludes_mxu_padding_from_softmax(small_net):
     expected = Scorer(qnet, EngineConfig(backend="xla")).score(frames)
     np.testing.assert_array_equal(out[:, qnet.output_dim :], 0.0)
     np.testing.assert_allclose(out[:, : qnet.output_dim], expected, atol=1e-5)
+
+
+def test_multihost_scorer_inert_single_process(qnet, rng):
+    """With jax.process_count() == 1, MultiHostScorer must behave exactly
+    like Scorer(mesh=...) (no broadcasts, no worker protocol), and refuse
+    work after close() only when genuinely multi-process."""
+    from fastdnn_tpu.parallel.service import MultiHostScorer
+
+    mesh = pmesh.make_mesh(data=4, model=2)
+    frames = rng.standard_normal((40, qnet.input_dim)).astype(np.float32)
+    mh = MultiHostScorer(qnet, EngineConfig(backend="xla"), mesh)
+    assert mh.is_coordinator
+    plain = Scorer(qnet, EngineConfig(backend="xla"), mesh=mesh)
+    np.testing.assert_array_equal(mh.score(frames), plain.score(frames))
+    mh.worker_loop()  # no-op single-process
+    mh.close()
+    mh.score(frames)  # single-process close is inert too
+    with pytest.raises(ValueError, match="requires a mesh"):
+        MultiHostScorer(qnet, EngineConfig(backend="xla"), None)

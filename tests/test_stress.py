@@ -93,3 +93,29 @@ def test_score_utterances_batch(scorer, features_16khz, features_8khz):
     as_list = scorer.score_utterances([features_16khz[:5]])
     np.testing.assert_array_equal(as_list[0], scorer.score(features_16khz[:5]))
     assert scorer.score_utterances({}) == {}
+
+
+def test_mesh_scorer_thread_stress(small_net, features_16khz, rng):
+    """The MultiThreadedStressTest contract on the MESH engine: many
+    threads share one Scorer(mesh=...) and every result must EXACTLY equal
+    a serial run (shard_map programs are immutable + jit-cached, so
+    concurrency must be a non-event)."""
+    import concurrent.futures
+
+    from fastdnn_tpu.parallel.mesh import make_mesh
+
+    qnet = quantize_net(small_net)
+    sc = Scorer(qnet, EngineConfig(backend="xla"), mesh=make_mesh(data=4, model=2))
+    jobs = []
+    for t in range(8):
+        n = int(rng.integers(1, 40))
+        jobs.append(np.asarray(features_16khz[t : t + n], np.float32))
+    expected = [sc.score(f) for f in jobs]
+
+    def run(i):
+        return sc.score(jobs[i])
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(run, range(8)))
+    for got, want in zip(results, expected):
+        np.testing.assert_array_equal(got, want)
