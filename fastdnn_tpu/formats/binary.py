@@ -35,7 +35,7 @@ from __future__ import annotations
 import io
 import os
 from dataclasses import dataclass
-from typing import BinaryIO, List, Sequence, Tuple, Union
+from typing import BinaryIO, List, Union
 
 import numpy as np
 
