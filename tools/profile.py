@@ -359,6 +359,8 @@ def cmd_trace_mesh():
 
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "trace"
+    if len(sys.argv) > 2:  # optional batch override, e.g. `trace 128`
+        B = int(sys.argv[2])
     {
         "trace": cmd_trace,
         "trace-mesh": cmd_trace_mesh,
