@@ -194,6 +194,13 @@ def make_mesh_programs(
     width [B, N_padded] sharded over (data, model); padding columns are 0.
     """
     model = mesh.shape[MODEL_AXIS]
+    if model > 1 and fast_posteriors:
+        raise ValueError(
+            "fast_posteriors (bf16 posteriors) is not supported with a "
+            "model-sharded mesh: the per-shard flash-stats path keeps f32 "
+            "logits for the exact cross-shard softmax; use model=1 or "
+            "fast_posteriors=False"
+        )
     net_spec = _net_spec(n_layers, true_output_dim)
     fspec = P(DATA_AXIS, None)
     kw = dict(

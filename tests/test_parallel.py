@@ -365,3 +365,20 @@ def test_multihost_scorer_inert_single_process(qnet, rng):
     mh.score(frames)  # single-process close is inert too
     with pytest.raises(ValueError, match="requires a mesh"):
         MultiHostScorer(qnet, EngineConfig(backend="xla"), None)
+
+
+def test_fast_posteriors_rejected_on_model_sharded_mesh(qnet):
+    """bf16 posteriors would break the exact cross-shard softmax; the
+    combination is refused loudly instead of silently ignored."""
+    with pytest.raises(ValueError, match="fast_posteriors"):
+        Scorer(
+            qnet,
+            EngineConfig(backend="pallas", interpret=True, fast_posteriors=True),
+            mesh=pmesh.make_mesh(data=2, model=4),
+        )
+    # data-only mesh: fine (single-device program per shard)
+    Scorer(
+        qnet,
+        EngineConfig(backend="pallas", interpret=True, fast_posteriors=True),
+        mesh=pmesh.make_mesh(data=8, model=1),
+    )

@@ -217,3 +217,45 @@ class TestScoreServer:
         (ln,) = struct.unpack("<I", s.recv(4))
         assert b"magic" in s.recv(ln)
         s.close()
+
+
+def test_serve_protocol_garbage_fuzz(small_net, tmp_path_factory, rng):
+    """Random garbage byte streams against the TCP handler: the server must
+    answer with a clean error or drop the connection — never wedge a worker
+    thread or crash — and stay fully usable for real clients afterwards."""
+    import socket
+    import threading
+
+    from fastdnn_tpu.cli.serve import MAGIC, ScoreClient, ScoreServer
+    from fastdnn_tpu.engine.stream import StreamingScorer
+
+    scorer = Scorer(quantize_net(small_net), EngineConfig(backend="xla"))
+    stream = StreamingScorer(scorer, max_batch_frames=128)
+    server = ScoreServer(("127.0.0.1", 0), stream)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = server.server_address[:2]
+        for trial in range(25):
+            blob = rng.bytes(int(rng.integers(1, 200)))
+            if trial % 3 == 0:
+                blob = MAGIC + blob  # valid magic, garbage op/dims/payload
+            s = socket.create_connection((host, port), timeout=10)
+            s.settimeout(5)
+            try:
+                s.sendall(blob)
+                s.shutdown(socket.SHUT_WR)  # half-close: header reads must bail
+                while s.recv(4096):
+                    pass
+            except OSError:
+                pass  # reset by the server is an acceptable outcome
+            finally:
+                s.close()
+        # server still healthy for a real client
+        c = ScoreClient(host, port)
+        u = rng.standard_normal((3, scorer.input_dim)).astype(np.float32)
+        np.testing.assert_allclose(c.score(u), scorer.score(u), atol=1e-6)
+        c.close()
+    finally:
+        server.shutdown()
+        stream.close()
