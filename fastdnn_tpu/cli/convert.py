@@ -47,6 +47,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="grow net by circular cloning to HIDDEN-wide layers / OUT outputs",
     )
 
+    q = sub.add_parser(
+        "quantize",
+        help="binary model -> int8 .npz checkpoint (quantize once, serve "
+        "forever; the reference re-quantizes on every load)",
+    )
+    q.add_argument("model", help="reference-format binary model")
+    q.add_argument("out", help="output checkpoint path (.npz)")
+    q.add_argument("--cutoff", type=float, default=3.0)
+
     f = sub.add_parser("features", help="Kaldi text features -> binary matrix")
     f.add_argument("input", help="Kaldi text feature file")
     f.add_argument("out", help="output binary path")
@@ -75,6 +84,17 @@ def main(argv=None) -> int:
         out_raw = to_raw(net)
         write_model(out_raw, args.out)
         print(f"Saved       = {out_raw.topology()} -> {args.out}")
+    elif args.cmd == "quantize":
+        from ..quant.quantize import quantize_net
+        from ..quant.serialize import save_qnet
+
+        raw = read_model(args.model)
+        qnet = quantize_net(from_raw(raw), cutoff=args.cutoff)
+        save_qnet(qnet, args.out)
+        params = sum(int(np.prod(np.asarray(w).shape)) for w in qnet.weights)
+        print(f"Loaded      = {raw.topology()}")
+        print(f"Saved       = int8 checkpoint ({params} quantized weights, "
+              f"cutoff {args.cutoff}) -> {args.out}")
     else:
         feats = load_features_text(args.input)
         if args.utterance is not None:

@@ -19,16 +19,19 @@ import numpy as np
 
 from ..config import EngineConfig
 from ..engine.scorer import Scorer
-from ..formats.binary import read_features, read_model, write_features, write_features_text
-from ..models.feedforward import from_raw
-from ..quant.quantize import quantize_net
+from ..formats.binary import read_features, write_features, write_features_text
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="fastdnn-score", description="Score acoustic features with a quantized DNN on TPU"
     )
-    p.add_argument("model", help="binary model file (reference format)")
+    p.add_argument(
+        "model",
+        help="reference-format binary model, or a .npz int8 checkpoint "
+        "(save_qnet / `fastdnn-convert quantize`) that skips the "
+        "quantization pass",
+    )
     p.add_argument("input", help="feature file: binary matrix, or Kaldi text with --text-input")
     p.add_argument("out", nargs="?", default=None, help="output file (default: stdout)")
     p.add_argument(
@@ -92,9 +95,11 @@ def main(argv=None) -> int:
             "--text-input scores all utterances in one pass and does not "
             "combine with --mask-density or --iterations"
         )
-    raw = read_model(args.model)
+    from ..quant.serialize import load_quantized
+
+    qnet, topology = load_quantized(args.model, cutoff=args.cutoff)
     print(f"Model File  = {args.model}")
-    print(f"Network     = {raw.topology()}")
+    print(f"Network     = {topology}")
     utts = None
     if args.text_input:
         from ..formats.kaldi_text import load_features_text
@@ -107,8 +112,6 @@ def main(argv=None) -> int:
         frames = read_features(args.input)
         print(f"Input       = {frames.shape[0]}x{frames.shape[1]}")
 
-    net = from_raw(raw)
-    qnet = quantize_net(net, cutoff=args.cutoff)
     mesh = None
     if args.mesh_model or args.mesh_data:
         from ..parallel.mesh import make_mesh

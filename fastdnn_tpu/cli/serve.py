@@ -136,7 +136,11 @@ class ScoreServer(socketserver.ThreadingTCPServer):
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fastdnn-serve", description=__doc__.split("\n")[0])
-    p.add_argument("model", help="binary model file (reference format)")
+    p.add_argument(
+        "model",
+        help="reference-format binary model, or a .npz int8 checkpoint "
+        "(quantize once, serve forever)",
+    )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8477)
     p.add_argument("--cutoff", type=float, default=3.0)
@@ -183,9 +187,7 @@ def build_scorer(args):
     processes get a MultiHostScorer whose worker_loop the caller must run.
     """
     from ..config import EngineConfig
-    from ..formats.binary import read_model
-    from ..models.feedforward import from_raw
-    from ..quant.quantize import quantize_net
+    from ..quant.serialize import load_quantized
 
     if getattr(args, "coordinator", None):
         from ..parallel.mesh import init_multihost
@@ -195,31 +197,30 @@ def build_scorer(args):
             num_processes=args.num_processes,
             process_id=args.process_id,
         )
-    raw = read_model(args.model)
-    qnet = quantize_net(from_raw(raw), cutoff=args.cutoff)
+    qnet, topology = load_quantized(args.model, cutoff=args.cutoff)
     cfg = EngineConfig(backend=args.backend)
     mesh_model = getattr(args, "mesh_model", 0)
     if not mesh_model and not getattr(args, "coordinator", None):
         from ..engine.scorer import Scorer
 
-        return Scorer(qnet, cfg), raw
+        return Scorer(qnet, cfg), topology
     from ..parallel.mesh import make_mesh
     from ..parallel.service import MultiHostScorer
 
     mesh = make_mesh(data=getattr(args, "mesh_data", None), model=mesh_model or 1)
-    return MultiHostScorer(qnet, cfg, mesh), raw
+    return MultiHostScorer(qnet, cfg, mesh), topology
 
 
 def make_server(args) -> ScoreServer:
     from ..engine.stream import StreamingScorer
 
-    scorer, raw = build_scorer(args)
+    scorer, topology = build_scorer(args)
     stream = StreamingScorer(
         scorer,
         max_batch_frames=args.max_batch_frames,
         max_wait_ms=args.max_wait_ms,
     )
-    print(f"Network = {raw.topology()}", flush=True)
+    print(f"Network = {topology}", flush=True)
     if getattr(args, "warmup", False):
         bucket = scorer.config.frame_bucket
         for n in (bucket, 4 * bucket, args.max_batch_frames):
@@ -234,8 +235,8 @@ def main(argv=None) -> int:
     if args.coordinator and args.process_id not in (None, 0):
         # worker process of a multi-host launch: no TCP, just mirror the
         # coordinator's device calls until it broadcasts stop
-        scorer, raw = build_scorer(args)
-        print(f"worker {args.process_id}: Network = {raw.topology()}", flush=True)
+        scorer, topology = build_scorer(args)
+        print(f"worker {args.process_id}: Network = {topology}", flush=True)
         scorer.worker_loop()
         return 0
     server = make_server(args)

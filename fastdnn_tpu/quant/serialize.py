@@ -44,6 +44,30 @@ def save_qnet(qnet: QuantizedNet, path) -> None:
         np.savez(f, **arrays)
 
 
+def load_quantized(path, cutoff: float = 3.0):
+    """Load EITHER model artifact the CLIs accept:
+
+      *.npz       — a pre-quantized QuantizedNet checkpoint (save_qnet):
+                    loads straight to device, no quantization pass
+      anything else — a reference-format binary float model, quantized on
+                    load with `cutoff` (what the reference does every load,
+                    /root/reference/src/cpp/jni_dnn.cc:7-18)
+
+    Returns (qnet, description string for the CLI topology banner).
+    """
+    if str(path).endswith(".npz"):
+        qnet = load_qnet(path)
+        dims = "-".join(str(d) for d in [qnet.input_dim] + qnet.layer_dims())
+        return qnet, f"{dims} (int8 checkpoint)"
+    from ..formats.binary import read_model
+    from ..models.feedforward import from_raw
+
+    from .quantize import quantize_net
+
+    raw = read_model(path)
+    return quantize_net(from_raw(raw), cutoff=cutoff), raw.topology()
+
+
 def load_qnet(path) -> QuantizedNet:
     """Load a QuantizedNet saved by `save_qnet`."""
     with np.load(path) as z:

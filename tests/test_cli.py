@@ -171,3 +171,21 @@ def test_score_text_input_multi_utterance(small_net, tmp_path):
     assert scored["utt-x"].shape == (7, small_net.output_dim)
     assert scored["utt-y"].shape == (3, small_net.output_dim)
     np.testing.assert_allclose(scored["utt-x"].sum(1), 1.0, rtol=1e-3)
+
+
+def test_quantize_checkpoint_cli_roundtrip(model_file, tmp_path, capsys):
+    """fastdnn-convert quantize -> .npz checkpoint; score/serve consume it
+    directly (no quantization pass) with identical posteriors."""
+    from fastdnn_tpu.cli import convert
+
+    ckpt = tmp_path / "model.qnet.npz"
+    assert convert.main(["quantize", model_file, str(ckpt)]) == 0
+    assert "int8 checkpoint" in capsys.readouterr().out
+
+    feats = os.path.join(DATA, "16khz.bin")
+    out_bin = tmp_path / "p_bin.bin"
+    out_ckpt = tmp_path / "p_ckpt.bin"
+    assert score.main([model_file, feats, str(out_bin), "BIN", "--backend", "xla"]) == 0
+    assert score.main([str(ckpt), feats, str(out_ckpt), "BIN", "--backend", "xla"]) == 0
+    np.testing.assert_array_equal(read_features(out_ckpt), read_features(out_bin))
+    assert "int8 checkpoint" in capsys.readouterr().out  # topology banner
