@@ -95,3 +95,25 @@ def test_extreme_input_values(rng):
         out = s.score(frames)
         assert np.isfinite(out).all()
         np.testing.assert_allclose(out.sum(-1), 1.0, rtol=1e-4)
+
+
+@pytest.mark.parametrize("hidden_widths", [[64], [96, 96]])
+def test_shallow_topologies_supported(rng, hidden_widths):
+    """Nets with fewer than two int8 hidden layers are LEGAL topologies the
+    reference's own parser accepts but its engine cannot run
+    (CalculationContext reads layers()[1], /root/reference/src/cpp/
+    dnn.cc:199: segfault at depth 1, silent heap overflow at depth 2 —
+    ASan-verified; PARITY.md "Reference bugs surfaced").  This engine must
+    handle them correctly at both backends."""
+    import jax
+
+    net = align(random_net(jax.random.PRNGKey(5), 429, hidden_widths, 120), 4, 16)
+    frames = rng.standard_normal((33, net.input_dim)).astype(np.float32)
+    oracle = np.asarray(forward(net, frames))
+    qnet = quantize_net(net, cutoff=3.0)
+    for cfg in (EngineConfig(backend="xla"),
+                EngineConfig(backend="pallas", interpret=True)):
+        out = Scorer(qnet, cfg).score(frames)
+        np.testing.assert_allclose(out.sum(-1), 1.0, rtol=1e-4)
+        # the reference's own accuracy discipline (summed |dp| per senone)
+        assert np.abs(out - oracle).sum(axis=0).max() < 0.1
