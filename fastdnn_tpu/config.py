@@ -88,11 +88,13 @@ class EngineConfig:
     #: bit-parity.
     fast_posteriors: bool = False
     #: frame-count threshold at or below which ALL hidden layers run as one
-    #: Pallas kernel (fused_hidden_stack): at small batch the weight stack
-    #: streams once and n-1 dispatches vanish (31% faster hidden time at 128
-    #: frames on v5e); at batch the per-layer kernels win by keeping each
-    #: weight matrix VMEM-resident across frame blocks.  0 disables.
-    stack_hidden_max_frames: int = 512
+    #: Pallas kernel (fused_hidden_stack): the weight stack streams per
+    #: frame block and n-1 dispatches vanish.  Device-traced on v5e (tanh
+    #: epilogue): stacked wins 1-3% at every batch up to 2048 and ties
+    #: per-layer at 4096-8192, so the threshold sits at 2048; at larger
+    #: batches per-layer kernels keep each weight matrix VMEM-resident
+    #: across frame blocks.  0 disables.
+    stack_hidden_max_frames: int = 2048
 
     # Lazy / masked output -------------------------------------------------
     #: "reference" reproduces the reference softmax-over-zeros semantics for

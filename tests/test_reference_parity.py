@@ -172,3 +172,22 @@ class TestQuantizerDivergence:
             f"clamped quantization (total |err| {err_ours:.2f}) should beat "
             f"the reference's overflow (total |err| {err_ref:.2f}) by >= 5x"
         )
+
+
+@pytest.mark.slow
+def test_cross_engine_property_sweep(tmp_path):
+    """Property-based parity: random topologies through BOTH engines
+    (tools/compare_engines.py) — every trial must sit 5x inside the
+    reference's own acceptance gate with full resolvable-argmax agreement."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "compare_engines.py"),
+         "--trials", "4", "--seed", "7"],
+        env=env, capture_output=True, text=True, timeout=500, cwd=repo,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "4/4 trials inside the tight gate" in r.stdout
