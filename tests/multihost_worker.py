@@ -93,6 +93,34 @@ def main() -> int:
     if mode == "serve":
         return serve_mode(num, pid, out_dir)
 
+    if mode == "tp-across":
+        # model axis spanning BOTH processes: the sharded softmax's
+        # pmax/psum collectives cross the process boundary (DCN-like),
+        # unlike the default mode where model pairs stay intra-process
+        import numpy as np
+
+        from fastdnn_tpu.config import EngineConfig
+        from fastdnn_tpu.models.feedforward import random_net
+        from fastdnn_tpu.parallel.mesh import make_mesh
+        from fastdnn_tpu.parallel.service import MultiHostScorer
+        from fastdnn_tpu.quant.quantize import quantize_net
+
+        net = random_net(jax.random.PRNGKey(5), 32, [64, 64], 64)
+        qnet = quantize_net(net)
+        mesh = make_mesh(model=len(devices))  # (data=1, model=8): all-TP
+        sc = MultiHostScorer(qnet, EngineConfig(backend="xla"), mesh, heartbeat_s=0.5)
+        if pid != 0:
+            sc.worker_loop()
+            return 0
+        frames = np.random.default_rng(7).standard_normal((24, 32)).astype(np.float32)
+        masks = (np.random.default_rng(9).random((24, 64)) < 0.4).astype(np.uint8)
+        post = sc.score(frames)
+        post_m = sc.score_masked(frames, masks)
+        np.savez(os.path.join(out_dir, "tp_across.npz"),
+                 post=post, post_m=post_m, frames=frames, masks=masks)
+        sc.close()
+        return 0
+
     import numpy as np
 
     from fastdnn_tpu.models.feedforward import random_net

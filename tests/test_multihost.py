@@ -99,3 +99,26 @@ def test_two_process_tcp_serving_matches_single_process(tmp_path):
         single.score_masked(data["frames0"], data["masks"]),
         atol=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_tensor_parallel_across_processes(tmp_path):
+    """Model axis spanning both processes: the exact sharded softmax's
+    pmax/psum collectives cross the process boundary (the DCN analog),
+    and posteriors must still equal the single-device engine."""
+    _run_workers(tmp_path, "tp-across")
+    data = np.load(tmp_path / "tp_across.npz")
+
+    import jax
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    qnet = quantize_net(random_net(jax.random.PRNGKey(5), 32, [64, 64], 64))
+    single = Scorer(qnet, EngineConfig(backend="xla"))
+    np.testing.assert_allclose(data["post"], single.score(data["frames"]), atol=1e-5)
+    np.testing.assert_allclose(
+        data["post_m"], single.score_masked(data["frames"], data["masks"]), atol=1e-5
+    )
