@@ -42,41 +42,40 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sigmoid import ZERO_POINT
-from ..config import ACTIVATION_SCALE, SIGMOID_HALF_LOOKUP_SIZE, SIGMOID_RESOLUTION
+from ..config import ACTIVATION_SCALE, SIGMOID_RESOLUTION
 
 LANES = 128
 
 
 def _quantized_sigmoid_shifted(lin: jax.Array) -> jax.Array:
-    """In-kernel quantized sigmoid -> shifted int8 (see ops/sigmoid.py:
-    the boundary clamps fall out of the clipped formula itself).
+    """In-kernel quantized sigmoid -> shifted int8: the trimmed tanh form,
+    identical to ops/sigmoid.quantized_sigmoid_shifted_i8 (see its
+    docstring for the algebra and the two pinned entries).
 
-    Computed as 127.5 + 127.5*tanh(kc/200) — algebraically identical to
-    255*sigmoid(kc/100), but the VPU tanh is markedly cheaper than
-    exp + divide: 211 vs 242 us per 8192x2048 hidden layer on v5e
-    (device-traced; the sigmoid epilogue is pure serial VPU time on top of
-    a matmul already at 96% of int8 peak).  The v5e tanh approximation
-    lands on the wrong side of the rounding boundary for exactly 2 of the
-    1281 table entries — k = +/-513, true values 253.50015/1.49985, margin
-    1.5e-4 (every other entry's margin is >= 0.0216, far above the ~3e-3
-    approximation error) — so those two entries are pinned explicitly,
-    keeping the kernel bit-exact with the reference LUT at EVERY entry:
-    exhaustively verified on-device by tools/check_sigmoid.py and on CPU
-    (where tanh is correctly rounded and the pins are no-ops) by
-    tests/test_quant.py + the pallas-vs-XLA bitwise gates.
+    127.5*tanh(kc/200) is 255*sigmoid(kc/100) - 127.5; one VPU
+    transcendental instead of exp + divide, trunc-based half-away rounding,
+    no clip (tanh saturates to the boundary counts), and the shifted int8
+    value taken directly as floor(127.5*tanh(kc/200)).  The epilogue is
+    pure serial VPU time on top of a matmul at ~96% of int8 peak, so every
+    op counts: v-form exp 242 -> v-form tanh 221 -> this form 206 us per
+    8192x2048 hidden layer (v5e, device-traced).  The v5e tanh
+    approximation lands on the wrong side of the rounding boundary for
+    exactly 2 of the 1281 table entries — k = +/-513, margin 1.5e-4 where
+    every other entry's margin is >= 0.0216, far above the ~3e-3
+    approximation error — so those two are pinned, keeping the kernel
+    bit-exact with the reference LUT at EVERY entry: exhaustively verified
+    on-device by tools/check_sigmoid.py and on CPU (where tanh is
+    correctly rounded and the pins are no-ops) by tests/test_quant.py +
+    the pallas-vs-XLA bitwise gates.
     """
-    half = float(SIGMOID_HALF_LOOKUP_SIZE)
-    kc = jnp.clip(
-        jnp.sign(lin) * jnp.floor(jnp.abs(lin) * SIGMOID_RESOLUTION + 0.5), -half, half
+    half_scale = ACTIVATION_SCALE / 2.0  # 127.5
+    k = jnp.trunc(
+        lin * SIGMOID_RESOLUTION + jnp.copysign(jnp.float32(0.5), lin)
     )
-    v = (ACTIVATION_SCALE / 2.0) + (ACTIVATION_SCALE / 2.0) * jnp.tanh(
-        kc * (0.5 / SIGMOID_RESOLUTION)
-    )
-    q = jnp.floor(v + 0.5)
-    q = jnp.where(kc == 513.0, 254.0, q)
-    q = jnp.where(kc == -513.0, 1.0, q)
-    return (q - ZERO_POINT).astype(jnp.int8)
+    s = jnp.floor(half_scale * jnp.tanh(k * (0.5 / SIGMOID_RESOLUTION)))
+    s = jnp.where(k == 513.0, 126.0, s)
+    s = jnp.where(k == -513.0, -127.0, s)
+    return s.astype(jnp.int8)
 
 
 def _hidden_kernel(x_ref, w_ref, colsum_ref, bias_ref, inv_scale_ref, out_ref):
