@@ -165,8 +165,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--coordinator",
         default=None,
         help="multi-host: jax.distributed coordinator address host:port "
-        "(requires --num-processes/--process-id); process 0 serves TCP, "
-        "the rest run the scoring worker loop",
+        "(--num-processes/--process-id explicit, or cluster-auto-detected); "
+        "the process with jax.process_index() 0 serves TCP, the rest run "
+        "the scoring worker loop",
     )
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
@@ -200,21 +201,23 @@ def build_scorer(args):
     qnet, topology = load_quantized(args.model, cutoff=args.cutoff)
     cfg = EngineConfig(backend=args.backend)
     mesh_model = getattr(args, "mesh_model", 0)
-    if not mesh_model and not getattr(args, "coordinator", None):
+    mesh_data = getattr(args, "mesh_data", None)
+    # either mesh flag activates a mesh (matching fastdnn-score's behavior)
+    if not mesh_model and not mesh_data and not getattr(args, "coordinator", None):
         from ..engine.scorer import Scorer
 
         return Scorer(qnet, cfg), topology
     from ..parallel.mesh import make_mesh
     from ..parallel.service import MultiHostScorer
 
-    mesh = make_mesh(data=getattr(args, "mesh_data", None), model=mesh_model or 1)
+    mesh = make_mesh(data=mesh_data, model=mesh_model or 1)
     return MultiHostScorer(qnet, cfg, mesh), topology
 
 
-def make_server(args) -> ScoreServer:
+def make_server(args, prebuilt=None) -> ScoreServer:
     from ..engine.stream import StreamingScorer
 
-    scorer, topology = build_scorer(args)
+    scorer, topology = prebuilt if prebuilt is not None else build_scorer(args)
     stream = StreamingScorer(
         scorer,
         max_batch_frames=args.max_batch_frames,
@@ -232,14 +235,22 @@ def make_server(args) -> ScoreServer:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.coordinator and args.process_id not in (None, 0):
-        # worker process of a multi-host launch: no TCP, just mirror the
-        # coordinator's device calls until it broadcasts stop
+    prebuilt = None
+    if args.coordinator:
+        # build first (runs init_multihost), then decide the role from
+        # jax.process_index() — the value MultiHostScorer itself keys on —
+        # so auto-assigned process ids (no --process-id) also work
+        import jax
+
         scorer, topology = build_scorer(args)
-        print(f"worker {args.process_id}: Network = {topology}", flush=True)
-        scorer.worker_loop()
-        return 0
-    server = make_server(args)
+        if jax.process_index() != 0:
+            # worker process of a multi-host launch: no TCP, just mirror
+            # the coordinator's device calls until it broadcasts stop
+            print(f"worker {jax.process_index()}: Network = {topology}", flush=True)
+            scorer.worker_loop()
+            return 0
+        prebuilt = (scorer, topology)
+    server = make_server(args, prebuilt=prebuilt)
     host, port = server.server_address[:2]
     print(f"serving on {host}:{port}", flush=True)
     try:

@@ -141,17 +141,20 @@ class BeamDecoder:
                     arcs.append(((w, s), (nw, 0), score, hist + (nw,)))
         return arcs
 
-    def active_mask(self, tokens) -> np.ndarray:
-        """The senones next frame's arcs consume — THE lazy mask."""
+    def active_mask(self, tokens, arcs=None) -> np.ndarray:
+        """The senones next frame's arcs consume — THE lazy mask.
+
+        Pass `arcs` (a `_successors(tokens)` result) when the caller also
+        steps the beam this frame, so the expansion is computed once."""
         mask = np.zeros(self.senone_count, np.uint8)
-        for _, (w, s), _, _ in self._successors(tokens):
+        for _, (w, s), _, _ in arcs if arcs is not None else self._successors(tokens):
             mask[self.lexicon.words[w][s]] = 1
         return mask
 
-    def _step(self, tokens, log_post: np.ndarray):
+    def _step(self, tokens, log_post: np.ndarray, arcs=None):
         """Advance the beam by one frame of (already masked) log posteriors."""
         best: Dict[Tuple[int, int], Tuple[float, Tuple[int, ...]]] = {}
-        for _, (w, s), score, hist in self._successors(tokens):
+        for _, (w, s), score, hist in arcs if arcs is not None else self._successors(tokens):
             ns = score + log_post[self.lexicon.words[w][s]]
             cur = best.get((w, s))
             if cur is None or ns > cur[0]:
@@ -182,8 +185,9 @@ class BeamDecoder:
         tokens = self._initial_tokens()
         masks = []
         for t in range(frames.shape[0]):
-            masks.append(self.active_mask(tokens))
-            tokens = self._step(tokens, self._log(post[t]))
+            arcs = self._successors(tokens)
+            masks.append(self.active_mask(tokens, arcs))
+            tokens = self._step(tokens, self._log(post[t]), arcs)
         return self._result(tokens, masks)
 
     def decode_lazy(self, scorer, frames: np.ndarray) -> DecodeResult:
@@ -195,10 +199,11 @@ class BeamDecoder:
         tokens = self._initial_tokens()
         masks = []
         for _ in range(frames.shape[0]):
-            mask = self.active_mask(tokens)
+            arcs = self._successors(tokens)
+            mask = self.active_mask(tokens, arcs)
             masks.append(mask)
             post = ctx.calculate_for_output_nodes(mask)
-            tokens = self._step(tokens, self._log(post))
+            tokens = self._step(tokens, self._log(post), arcs)
         return self._result(tokens, masks)
 
     def decode_rescore(

@@ -25,12 +25,16 @@ _LIB_PATH = os.path.join(
 )
 
 _lib: Optional[ctypes.CDLL] = None
+_load_failed = False  # cache the negative result: dlopen + ~20 symbol
+# binds + a warning per IO call would otherwise repeat for every file
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None
     if os.environ.get("FASTDNN_NATIVE", "1") == "0":
         return None
     if not os.path.exists(_LIB_PATH):
@@ -47,6 +51,7 @@ def _load() -> Optional[ctypes.CDLL]:
             type(e).__name__,
             e,
         )
+        _load_failed = True
         return None
     _lib = lib
     return lib

@@ -56,6 +56,15 @@ def load_quantized(path, cutoff: float = 3.0):
     Returns (qnet, description string for the CLI topology banner).
     """
     if str(path).endswith(".npz"):
+        if cutoff != 3.0:
+            import warnings
+
+            warnings.warn(
+                f"cutoff={cutoff} has no effect on a pre-quantized .npz "
+                "checkpoint (weights were quantized when it was saved); "
+                "re-quantize from the float binary model to change cutoff",
+                stacklevel=2,
+            )
         qnet = load_qnet(path)
         dims = "-".join(str(d) for d in [qnet.input_dim] + qnet.layer_dims())
         return qnet, f"{dims} (int8 checkpoint)"

@@ -24,6 +24,7 @@ def native():
             pytest.skip("no native toolchain")
         subprocess.run(["make", "-C", os.path.join(REPO, "native")], check=True)
         nat._lib = None  # force re-probe
+        nat._load_failed = False
         assert nat.available()
     return nat
 
