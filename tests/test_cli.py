@@ -189,3 +189,43 @@ def test_quantize_checkpoint_cli_roundtrip(model_file, tmp_path, capsys):
     assert score.main([str(ckpt), feats, str(out_ckpt), "BIN", "--backend", "xla"]) == 0
     np.testing.assert_array_equal(read_features(out_ckpt), read_features(out_bin))
     assert "int8 checkpoint" in capsys.readouterr().out  # topology banner
+
+
+def test_serve_mesh_data_alone_builds_mesh(model_file):
+    """--mesh-data without --mesh-model must activate a data-parallel mesh
+    (matching fastdnn-score), not silently fall back to one device."""
+    from fastdnn_tpu.cli.serve import build_scorer
+    from fastdnn_tpu.parallel.service import MultiHostScorer
+
+    class A:
+        model = model_file
+        cutoff, backend = 3.0, "xla"
+        mesh_model, mesh_data = 0, 8
+        coordinator = None
+
+    scorer, topology = build_scorer(A)
+    try:
+        assert isinstance(scorer, MultiHostScorer)
+        assert scorer.mesh.shape["data"] == 8
+        assert "432" in topology
+    finally:
+        scorer.close()
+
+
+def test_checkpoint_cutoff_warns(model_file, tmp_path):
+    """--cutoff cannot apply to a pre-quantized .npz checkpoint; the load
+    must say so instead of silently no-opping."""
+    import warnings
+
+    from fastdnn_tpu.quant.serialize import load_quantized, save_qnet
+    from fastdnn_tpu.formats.binary import read_model
+    from fastdnn_tpu.models.feedforward import from_raw
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    ckpt = tmp_path / "m.qnet.npz"
+    save_qnet(quantize_net(from_raw(read_model(model_file))), ckpt)
+    with pytest.warns(UserWarning, match="no effect"):
+        load_quantized(str(ckpt), cutoff=5.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        load_quantized(str(ckpt), cutoff=3.0)  # default: no warning
