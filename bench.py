@@ -75,6 +75,16 @@ def chained_frames_per_s(
     the full engine live and no consume-sum is charged.
     """
     b, in_dim = frames.shape
+    out_dim = jax.eval_shape(
+        (lambda x, m: score_once(x, m)) if masks is not None else score_once,
+        *((frames, masks) if masks is not None else (frames,)),
+    ).shape[1]
+    if out_dim < in_dim:
+        raise ValueError(
+            f"posterior width {out_dim} < feature dim {in_dim}: the feedback "
+            "chain slices posteriors back into features, so the net's output "
+            "must be at least as wide as its input"
+        )
 
     def make(reps: int):
         @jax.jit

@@ -40,8 +40,10 @@ def main() -> int:
     import jax
 
     import fastdnn_tpu as fd
-    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.config import EngineConfig, honor_jax_platforms_env
     from fastdnn_tpu.decoder import BeamDecoder, random_lexicon
+
+    honor_jax_platforms_env()
 
     frames = fd.read_features("/root/reference/data/8khz.aligned.bin")
     net = fd.align(fd.random_net(jax.random.PRNGKey(0), 429, [512] * 3, 1000), 4, 16)

@@ -58,8 +58,9 @@ def main() -> int:
     args = p.parse_args()
 
     import fastdnn_tpu as fd
-    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.config import EngineConfig, honor_jax_platforms_env
 
+    honor_jax_platforms_env()
     frames = fd.read_features("/root/reference/data/8khz.aligned.bin")
     if args.model:
         net = fd.from_raw(fd.read_model(args.model))

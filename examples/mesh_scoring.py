@@ -32,6 +32,10 @@ def main() -> int:
 
     import jax
 
+    from fastdnn_tpu.config import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+
     import fastdnn_tpu as fd
     from fastdnn_tpu.config import EngineConfig
     from fastdnn_tpu.parallel.mesh import make_mesh

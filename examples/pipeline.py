@@ -50,7 +50,9 @@ def main() -> int:
 
     import fastdnn_tpu as fd
     from fastdnn_tpu.cli.serve import ScoreClient, ScoreServer
-    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.config import EngineConfig, honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     from fastdnn_tpu.engine.stream import StreamingScorer
     from fastdnn_tpu.formats.kaldi_text import load_network_text
 

@@ -88,6 +88,9 @@ def generate_masks(rng, count, dim, density, churn_frac=0.03):
 
 
 def main(argv=None) -> int:
+    from ..config import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
 
     if args.text_input and (args.mask_density is not None or args.iterations != 1):

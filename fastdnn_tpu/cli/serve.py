@@ -234,6 +234,9 @@ def make_server(args, prebuilt=None) -> ScoreServer:
 
 
 def main(argv=None) -> int:
+    from ..config import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
     prebuilt = None
     if args.coordinator:

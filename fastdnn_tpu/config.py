@@ -31,6 +31,22 @@ DEFAULT_INPUT_ALIGNMENT = 4
 DEFAULT_HIDDEN_ALIGNMENT = 16
 
 
+def honor_jax_platforms_env() -> None:
+    """Apply the JAX_PLATFORMS env var via jax.config.
+
+    Some platform plugins force-register an accelerator over the env var
+    at import time; the config update restores the documented env-var
+    semantics.  Called by the CLIs (and examples) before first backend
+    use; a no-op when the variable is unset.
+    """
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     """Knobs for the TPU scoring engine."""
