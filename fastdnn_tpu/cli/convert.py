@@ -66,9 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    from ..config import honor_jax_platforms_env
+    from ..config import enable_compilation_cache, honor_jax_platforms_env
 
     honor_jax_platforms_env()
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.cmd == "model":
         if args.from_binary:

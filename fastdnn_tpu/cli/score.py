@@ -88,9 +88,10 @@ def generate_masks(rng, count, dim, density, churn_frac=0.03):
 
 
 def main(argv=None) -> int:
-    from ..config import honor_jax_platforms_env
+    from ..config import enable_compilation_cache, honor_jax_platforms_env
 
     honor_jax_platforms_env()
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
 
     if args.text_input and (args.mask_density is not None or args.iterations != 1):

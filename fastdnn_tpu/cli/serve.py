@@ -234,9 +234,10 @@ def make_server(args, prebuilt=None) -> ScoreServer:
 
 
 def main(argv=None) -> int:
-    from ..config import honor_jax_platforms_env
+    from ..config import enable_compilation_cache, honor_jax_platforms_env
 
     honor_jax_platforms_env()
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     prebuilt = None
     if args.coordinator:

@@ -31,6 +31,39 @@ DEFAULT_INPUT_ALIGNMENT = 4
 DEFAULT_HIDDEN_ALIGNMENT = 16
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache for CLI/server cold starts.
+
+    First compile of the flagship kernels costs tens of seconds (more
+    through a remote-TPU relay); JAX's persistent cache reuses compiled
+    executables across processes, cutting restart latency to disk-read
+    time.  Cache directory resolution:
+
+      JAX_COMPILATION_CACHE_DIR set  -> leave it to jax (native env var)
+      FASTDNN_COMPILE_CACHE=0 or ''  -> disabled
+      FASTDNN_COMPILE_CACHE=<path>   -> that directory
+      unset                          -> ~/.cache/fastdnn_tpu/jax
+
+    Called by the CLIs; a failure to set up the cache never blocks scoring.
+    """
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    val = os.environ.get("FASTDNN_COMPILE_CACHE")
+    if val is not None and val in ("", "0"):
+        return
+    path = val or os.path.join(os.path.expanduser("~"), ".cache", "fastdnn_tpu", "jax")
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
+
 def honor_jax_platforms_env() -> None:
     """Apply the JAX_PLATFORMS env var via jax.config.
 

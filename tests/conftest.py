@@ -8,6 +8,9 @@ TPU build").  Must be set before jax initializes, hence module scope here.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep tests hermetic: the CLIs enable the persistent compilation cache
+# (config.enable_compilation_cache), which would write to ~/.cache
+os.environ.setdefault("FASTDNN_COMPILE_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
