@@ -54,6 +54,22 @@ class TestQuantizedSigmoid:
         assert out.dtype == np.int8
         np.testing.assert_array_equal(out, [-128, 0, 127])
 
+    def test_shifted_equals_u8_minus_zero_point_everywhere(self, rng):
+        """The shifted-int8 helper uses independent trimmed algebra (no
+        clip, trunc rounding, direct floor form — ops/sigmoid.py); it must
+        equal u8 - 128 on entries, half-cases, the saturated tail the
+        dropped clip now handles implicitly, and sign edges."""
+        xs = np.concatenate([
+            (np.arange(-640, 640) / 100.0),               # every table entry
+            (np.arange(-1290, 1290) / 200.0),             # all half-boundaries
+            np.array([-0.0, 0.0, -1e30, 1e30, -6.4, 6.4, -6.405, 6.405,
+                      -50.0, 50.0, -512.0, 512.0]),
+            rng.uniform(-30, 30, 20000),
+        ]).astype(np.float32)
+        shifted = np.asarray(qs.quantized_sigmoid_shifted_i8(jnp.asarray(xs))).astype(np.int32)
+        u8 = np.asarray(qs.quantized_sigmoid_u8(jnp.asarray(xs))).astype(np.int32)
+        np.testing.assert_array_equal(shifted, u8 - qs.ZERO_POINT)
+
 
 class TestQuantizeLayer:
     def test_multiplier_math(self):
