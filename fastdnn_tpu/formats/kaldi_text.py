@@ -27,8 +27,37 @@ import numpy as np
 from .binary import RawLayer, RawNetwork
 
 _BRACKET_BLOCK = re.compile(r"\[(.+?)\]", re.DOTALL)
-# utterance id = text preceding a bracket block
-_UTT_ID = re.compile(r"(.+?)(?:\[.+?\])", re.DOTALL)
+
+# C strtof token syntax (decimal / hex / inf / nan), longest-prefix greedy —
+# the native parser tokenizes rows with strtof (fastdnn_io.cc:293-298), so
+# the Python fallback must split identically ("1.5-2" is TWO values to
+# strtof, not a bad token; "0x10" is 16.0).
+_CFLOAT = re.compile(
+    r"""[+-]?(?:
+        0[xX](?:[0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?|\.[0-9a-fA-F]+)(?:[pP][+-]?[0-9]+)?
+      | (?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?
+      | [iI][nN][fF](?:[iI][nN][iI][tT][yY])?
+      | [nN][aA][nN]
+    )""",
+    re.VERBOSE,
+)
+
+
+def _parse_row_strtof(line: str) -> np.ndarray:
+    """One feature row tokenized exactly like the native strtof loop."""
+    vals: List[float] = []
+    pos, n = 0, len(line)
+    while pos < n:
+        if line[pos] in " \t\r":
+            pos += 1
+            continue
+        m = _CFLOAT.match(line, pos)
+        if m is None:
+            raise ValueError(f"bad float at column {pos}: {line[pos:pos+12]!r}")
+        tok = m.group(0)
+        vals.append(float.fromhex(tok) if "x" in tok or "X" in tok else float(tok))
+        pos = m.end()
+    return np.array(vals, dtype=np.float32)
 
 
 def _floats(text: str) -> np.ndarray:
@@ -118,13 +147,83 @@ def load_network_text(network_path, transform_path) -> RawNetwork:
 
 
 def parse_features_text(text: str) -> Dict[str, np.ndarray]:
-    """Parse a Kaldi text feature file -> {utterance_id: [frames, dim]}."""
+    """Parse a Kaldi text feature file -> {utterance_id: [frames, dim]}.
+
+    Single-pass tokenizer with POSITIONAL id/block pairing, mirroring the
+    strict native parser (native/fastdnn_io.cc fd_read_features_text) so
+    malformed files either parse identically in both or fail loudly in
+    both.  (The reference's own Java parser zips two independent regex
+    scans over the whole file, BatchData.java:140-160, which can silently
+    mispair ids and blocks on malformed input — a laxness this parser
+    deliberately does not reproduce.)
+
+    Native-parity semantics:
+      * the utterance id is the FIRST whitespace token before each `[`;
+        any extra tokens between id and `[` are ignored;
+      * rows are tokenized with C strtof rules (_parse_row_strtof) and end
+        at newlines; '\r' is row-internal whitespace;
+      * end-of-file closes an open block like `]` does;
+      * ragged rows, non-numeric garbage, or an empty block raise
+        ValueError (the native parser rejects the file);
+      * trailing text after the last block (an id without a block) is
+        ignored, as the native parser does;
+      * a file with no complete utterance raises ValueError.
+    """
     result: Dict[str, np.ndarray] = {}
-    blocks = [m.group(1).strip() for m in _BRACKET_BLOCK.finditer(text)]
-    ids = [m.group(1).strip() for m in _UTT_ID.finditer(text)]
-    for utt_id, block in zip(ids, blocks):
-        rows = [_floats(line) for line in block.splitlines() if line.strip()]
+    pos = 0
+    while True:
+        lb = text.find("[", pos)
+        if lb == -1:
+            break  # trailing id-without-block is dropped, like native
+        head = text[pos:lb].split()
+        utt_id = head[0] if head else ""
+        rb = text.find("]", lb + 1)
+        nxt = text.find("[", lb + 1)
+        if nxt != -1 and (rb == -1 or nxt < rb):
+            # a second '[' inside the block: the strtof loop hits it and
+            # rejects (fastdnn_io.cc:295-296)
+            raise ValueError(
+                f"'[' inside feature block for utterance {utt_id!r}"
+            )
+        inner = text[lb + 1 : rb] if rb != -1 else text[lb + 1 :]
+        if rb == -1:
+            # EOF inside a block: the native loop exits WITHOUT committing a
+            # row in progress, so trailing tokens after the last newline
+            # make the frame count inconsistent and the file is rejected
+            # (fastdnn_io.cc:300-304; test_text_parser_truncated_mid_number).
+            # A newline-terminated final row is committed and accepted.
+            tail = inner[inner.rfind("\n") + 1 :]
+            if tail.strip(" \t\r"):
+                raise ValueError(
+                    f"file truncated mid-row in utterance {utt_id!r}"
+                )
+        rows = []
+        dim = -1
+        for ln, line in enumerate(inner.split("\n")):
+            if not line.strip():
+                continue
+            try:
+                vals = _parse_row_strtof(line)
+            except ValueError as e:
+                raise ValueError(
+                    f"utterance {utt_id!r}, row {ln}: {e}"
+                ) from None
+            if dim == -1:
+                dim = vals.shape[0]
+            elif vals.shape[0] != dim:
+                raise ValueError(
+                    f"ragged rows in utterance {utt_id!r}: row {ln} has "
+                    f"{vals.shape[0]} values, expected {dim}"
+                )
+            rows.append(vals)
+        if not rows:
+            raise ValueError(f"empty feature block for utterance {utt_id!r}")
         result[utt_id] = np.stack(rows)
+        if rb == -1:
+            break  # EOF closed the block (native treats EOF like ']')
+        pos = rb + 1
+    if not result:
+        raise ValueError("no complete utterance blocks found")
     return result
 
 

@@ -314,3 +314,98 @@ def test_native_score_via_server(tmp_path):
     finally:
         server.shutdown()
         stream.close()
+
+
+class TestParserAgreement:
+    """The Python fallback parser mirrors the STRICT native parser: on any
+    input — well-formed or malformed — the two either parse identically or
+    both raise ValueError.  This makes the fallback path (taken exactly when
+    the native parser rejects a file, kaldi_text.load_features_text) unable
+    to silently mispair ids and blocks the way the reference's own
+    zip-of-two-regexes Java parser can (BatchData.java:140-160)."""
+
+    CASES = [
+        # well-formed
+        b"utt-a  [\n  1.0 2.0 3.0\n  4 5 6 ]\nutt-b [\n 7.5 -8 9e-1 ]\n",
+        # truncated mid-row at EOF: native never commits the partial row
+        b"u [\n 1.0 2.5",
+        # EOF right after a newline-terminated row: accepted without ']'
+        b"u [\n1 2\n",
+        b"u [\n1 2\n3 4\n",
+        # trailing id with no block is dropped
+        b"u [1 2]\ntrailer-no-block",
+        # block with empty id
+        b"[1 2]\n",
+        # '[' inside a block
+        b"u [1 2 [ 3]",
+        # ragged rows
+        b"u [\n1 2 3\n4 5 ]\n",
+        # empty / whitespace-only block
+        b"u [ ]\n",
+        b"u [\n\n]\n",
+        # strtof tokenization: adjacent sign splits, hex, inf/nan
+        b"u [1.5-2 3]\n",
+        b"u [0x10 2]\n",
+        b"u [nan inf -inf]\n",
+        # invalid exponent: strtof backs off to "1", then 'e' fails
+        b"u [1e 2]\n",
+        # stray ']' between utterances becomes (both parsers) the next id
+        b"a [1 2] ] b [3 4]\n",
+        # extra tokens between id and '[' are ignored
+        b"a  extra junk [1 2]\n",
+        # no utterances at all
+        b"just some text, no blocks",
+        b"",
+        b"lonely-id-no-bracket",
+    ]
+
+    def _run_both(self, native, tmp_path, raw: bytes):
+        from fastdnn_tpu.formats import kaldi_text
+
+        p = tmp_path / "case.txt"
+        p.write_bytes(raw)
+        try:
+            n_out = native.read_features_text(str(p))
+        except ValueError:
+            n_out = None
+        try:
+            p_out = kaldi_text.parse_features_text(raw.decode("ascii"))
+        except ValueError:
+            p_out = None
+        return n_out, p_out
+
+    @pytest.mark.parametrize("raw", CASES, ids=range(len(CASES)))
+    def test_curated_malformed_agreement(self, native, tmp_path, raw):
+        n_out, p_out = self._run_both(native, tmp_path, raw)
+        assert (n_out is None) == (p_out is None), (
+            f"one parser rejected what the other accepted: "
+            f"native={n_out is not None} python={p_out is not None}"
+        )
+        if n_out is not None:
+            assert list(n_out) == list(p_out)
+            for k in n_out:
+                np.testing.assert_array_equal(n_out[k], p_out[k])
+
+    def test_mutation_fuzz_agreement(self, native, tmp_path):
+        """Random byte mutations/truncations of the bundled text features:
+        both parsers must keep agreeing (parse-equal or both-reject)."""
+        data = open(os.path.join(DATA, "16khz"), "rb").read()
+        rng = np.random.default_rng(7)
+        agreements = {"both_ok": 0, "both_reject": 0}
+        for t in range(24):
+            buf = bytearray(data)
+            if t % 2 == 0:
+                buf = buf[: int(rng.integers(1, len(buf)))]
+            for _ in range(int(rng.integers(0, 6))):
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(32, 127))
+            n_out, p_out = self._run_both(native, tmp_path, bytes(buf))
+            assert (n_out is None) == (p_out is None), f"trial {t} disagreed"
+            if n_out is None:
+                agreements["both_reject"] += 1
+            else:
+                agreements["both_ok"] += 1
+                assert list(n_out) == list(p_out), f"trial {t} key order"
+                for k in n_out:
+                    np.testing.assert_array_equal(n_out[k], p_out[k])
+        # the sweep must exercise both outcomes to mean anything
+        assert agreements["both_ok"] > 0 and agreements["both_reject"] > 0, agreements

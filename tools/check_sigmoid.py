@@ -26,15 +26,20 @@ from jax.experimental import pallas as pl
 
 def main() -> int:
     from fastdnn_tpu.ops.pallas_kernels import _quantized_sigmoid_shifted
-    from fastdnn_tpu.ops.sigmoid import ZERO_POINT, quantized_sigmoid_shifted_i8
+    from fastdnn_tpu.ops.sigmoid import (
+        ZERO_POINT,
+        quantized_sigmoid_shifted_i8,
+        reference_lut_lookup,
+    )
 
     ks = np.arange(-640, 641, dtype=np.int64)
-    expected = (
-        np.floor(255.0 / (1.0 + np.exp(-ks.astype(np.float64) / 100.0)) + 0.5)
-        - ZERO_POINT
-    ).astype(np.int8)
-
     lin = (ks.astype(np.float32)) / 100.0
+    # expected via the test-gated oracle (the rebuilt reference LUT itself,
+    # ops.sigmoid.build_reference_lut) so this tool and the CPU tests share
+    # ONE reference construction — not an independent float64 closed form
+    expected = (reference_lut_lookup(lin).astype(np.int16) - ZERO_POINT).astype(
+        np.int8
+    )
     pad = np.zeros(8 * 2048 - lin.size, np.float32)
     lin_mat = jnp.asarray(np.concatenate([lin, pad]).reshape(8, 2048))
 

@@ -1,0 +1,351 @@
+"""On-device verification harness: ONE pass/fail JSON line per run.
+
+The reference's whole validation discipline is "run the engine and diff"
+(/root/reference/test/java/suskun/nn/FuncTest.java:59-74).  This repo's far
+stronger gates (bitwise pallas==XLA, sigmoid LUT exactness, cross-engine
+golden parity) run under pytest in interpret/CPU mode only — but the two
+pinned sigmoid entries (k = +/-513, ops/sigmoid.py) prove compiled-vs-
+interpret divergence is real, so a silent regression in the COMPILED
+kernels could hide while the suite stays green.  This tool closes that gap:
+on the actual accelerator it runs
+
+  * the 1281-entry quantized-sigmoid exactness check for both backends,
+    expected values derived from ops.sigmoid.build_reference_lut — the same
+    oracle construction the CPU tests gate (one source of truth);
+  * compiled-kernel equality vs the JITTED XLA oracle (CLAUDE.md: eager can
+    round 1 ulp differently) for every kernel x variant:
+      - fused_hidden_layer                       (bitwise int8)
+      - fused_hidden_stack streaming + resident  (bitwise int8)
+      - output_layer_logits                      (allclose, fp epilogue)
+      - output_layer_posteriors_resident         (plain / masked-reference /
+                                                  masked-active_only / fast)
+      - output_layer_posteriors (flash-stats)    (same four variants)
+      - output_layer_flash_stats + the TP pmax/psum combine algebra
+        (parallel/sharded.py:154-155) reassembled across two column shards
+  * the full-engine gate: Scorer(pallas) vs Scorer(xla) — hidden
+    activations bitwise, posteriors within the suite's 3e-5 bound;
+  * the golden cross-engine parity gate: posteriors vs the output of the
+    ACTUAL compiled reference C++ engine (tests/golden/), at the repo's
+    5x-tightened acceptance bound.
+
+Usage:
+    python tools/verify_tpu.py [--out VERIFY.json] [--batch 512]
+
+Exit 0 = every check passed.  Run after ANY kernel change; the driver-style
+artifact (VERIFY_r*.json) is committed per round like BENCH_r*.json.
+Posterior tolerances follow CLAUDE.md: 3e-5 covers the in-kernel resident
+softmax's reduction-order roundoff; the bf16 `fast` variants get 4e-3
+(bf16 rounding concentrated away from the softmax mass).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+POSTERIOR_ATOL = 3e-5
+FAST_ATOL = 4e-3
+LOGIT_ATOL = 1e-4  # logits span ~[-40, 40]; fp epilogue contraction order
+
+
+def _bitwise(name, got, want, detail):
+    got, want = np.asarray(got), np.asarray(want)
+    bad = int((got != want).sum())
+    detail[name] = {"ok": bad == 0, "mismatches": bad, "n": int(got.size)}
+    return bad == 0
+
+
+def _close(name, got, want, atol, detail):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    d = float(np.abs(got - want).max()) if got.size else 0.0
+    detail[name] = {"ok": d <= atol, "max_abs_diff": d, "atol": atol}
+    return d <= atol
+
+
+def check_sigmoid(detail) -> bool:
+    """All 1281 representable LUT inputs, both backends, compiled."""
+    from jax.experimental import pallas as pl
+
+    from fastdnn_tpu.ops.pallas_kernels import _quantized_sigmoid_shifted
+    from fastdnn_tpu.ops.sigmoid import (
+        quantized_sigmoid_shifted_i8,
+        reference_lut_lookup,
+    )
+
+    ks = np.arange(-640, 641, dtype=np.int64)
+    lin = ks.astype(np.float32) / 100.0
+    # expected via the test-gated oracle: the rebuilt reference LUT itself
+    expected = (reference_lut_lookup(lin).astype(np.int16) - 128).astype(np.int8)
+
+    pad = np.zeros(8 * 2048 - lin.size, np.float32)
+    lin_mat = jnp.asarray(np.concatenate([lin, pad]).reshape(8, 2048))
+
+    def kernel(lin_ref, out_ref):
+        out_ref[:] = _quantized_sigmoid_shifted(lin_ref[:])
+
+    interpret = jax.devices()[0].platform != "tpu"
+    got_pallas = np.asarray(
+        pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(lin_mat.shape, jnp.int8),
+            interpret=interpret,
+        )(lin_mat)
+    ).reshape(-1)[: ks.size]
+    got_xla = np.asarray(jax.jit(quantized_sigmoid_shifted_i8)(lin_mat)).reshape(-1)[
+        : ks.size
+    ]
+    ok = _bitwise("sigmoid_pallas_1281", got_pallas, expected, detail)
+    ok &= _bitwise("sigmoid_xla_1281", got_xla, expected, detail)
+    return ok
+
+
+def _oracle_posteriors(qnet, acts, masks, out_dim, semantics):
+    """Jitted XLA oracle: logits -> slice padding -> (masked) softmax,
+    exactly the scorer's XLA path (engine/scorer.score_masked_fn)."""
+    from fastdnn_tpu.ops import matmul as xops
+
+    @jax.jit
+    def f(acts, masks):
+        logits = xops.output_logits(
+            acts, qnet.weights[-1], qnet.colsum128[-1], qnet.inv_scales[-1],
+            qnet.biases[-1],
+        )[:, :out_dim]
+        if masks is None:
+            return jax.nn.softmax(logits, axis=-1)
+        mb = masks[:, :out_dim] != 0
+        if semantics == "reference":
+            return xops.masked_softmax_reference(logits, mb)
+        return xops.masked_softmax_active_only(logits, mb)
+
+    return np.asarray(f(acts, masks), np.float32)
+
+
+def check_kernels(detail, batch: int) -> bool:
+    """Every Pallas kernel x variant vs the jitted XLA oracle, compiled."""
+    from fastdnn_tpu.engine import pallas_backend as pb
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.ops import matmul as xops
+    from fastdnn_tpu.ops import pallas_kernels as pk
+    from fastdnn_tpu.quant.quantize import pad_qnet_for_tpu, quantize_net
+
+    interpret = jax.devices()[0].platform != "tpu"
+    net = random_net(jax.random.PRNGKey(7), 432, [512, 512, 512], 1000)
+    qnet = pad_qnet_for_tpu(quantize_net(net, cutoff=3.0))
+    out_dim = qnet.output_dim
+    n_pad = qnet.weights[-1].shape[1]
+
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(rng.standard_normal((batch, 432)), jnp.float32)
+    frames = jnp.pad(frames, ((0, 0), (0, qnet.input_dim - 432)))
+    acts0 = jax.jit(xops.input_layer_step, static_argnames=("precision",))(
+        frames, qnet.input_w, qnet.input_b, "high"
+    )
+    masks = jnp.asarray(
+        (rng.random((batch, n_pad)) < 0.35).astype(np.uint8)
+    )
+    # one fully-masked row exercises the uniform-row guard (active_only)
+    masks = masks.at[1].set(0)
+
+    ok = True
+
+    # hidden layer: pallas vs jitted XLA, bitwise
+    xla_hidden = jax.jit(xops.hidden_layer_step)
+    acts = acts0
+    want = acts0
+    for i in range(len(qnet.weights) - 1):
+        acts = pb.hidden_layer_step(
+            acts, qnet.weights[i], qnet.colsum128[i], qnet.inv_scales[i],
+            qnet.biases[i], interpret=interpret,
+        )
+        want = xla_hidden(
+            want, qnet.weights[i], qnet.colsum128[i], qnet.inv_scales[i],
+            qnet.biases[i],
+        )
+    ok &= _bitwise("hidden_layers_bitwise", acts, want, detail)
+    want_acts = want
+
+    # hidden stack, streaming + resident, bitwise vs the same oracle chain
+    from fastdnn_tpu.engine.scorer import build_hidden_stack
+
+    hstack = build_hidden_stack(qnet)
+    for resident in (False, True):
+        got = pb.hidden_stack_step(
+            acts0, hstack, interpret=interpret, resident=resident
+        )
+        ok &= _bitwise(
+            f"hidden_stack_{'resident' if resident else 'streaming'}_bitwise",
+            got, want_acts, detail,
+        )
+
+    # output logits: fp epilogue -> allclose
+    got_logits = pb.output_logits(
+        acts, qnet.weights[-1], qnet.colsum128[-1], qnet.inv_scales[-1],
+        qnet.biases[-1], interpret=interpret,
+    )
+    want_logits = jax.jit(xops.output_logits)(
+        want_acts, qnet.weights[-1], qnet.colsum128[-1], qnet.inv_scales[-1],
+        qnet.biases[-1],
+    )
+    ok &= _close("output_logits", got_logits, want_logits, LOGIT_ATOL, detail)
+
+    # fused output kernels: resident + flash-stats, all mask/fast variants
+    variants = [
+        ("plain", None, "reference", False, POSTERIOR_ATOL),
+        ("masked_ref", masks, "reference", False, POSTERIOR_ATOL),
+        ("masked_active", masks, "active_only", False, POSTERIOR_ATOL),
+        ("fast", None, "reference", True, FAST_ATOL),
+    ]
+    for vname, m, sem, fast, atol in variants:
+        want_p = _oracle_posteriors(qnet, want_acts, m, out_dim, sem)
+        got_res = pk.output_layer_posteriors_resident(
+            acts, qnet.weights[-1], qnet.colsum128[-1], qnet.inv_scales[-1],
+            qnet.biases[-1], m, out_dim=out_dim, semantics=sem,
+            interpret=interpret, fast=fast,
+        )
+        ok &= _close(f"posteriors_resident_{vname}", got_res, want_p, atol, detail)
+        got_st = pk.output_layer_posteriors(
+            acts, qnet.weights[-1], qnet.colsum128[-1], qnet.inv_scales[-1],
+            qnet.biases[-1], m, out_dim=out_dim, semantics=sem,
+            interpret=interpret, fast=fast,
+        )
+        ok &= _close(f"posteriors_stats_{vname}", got_st, want_p, atol, detail)
+
+    # tensor-parallel kernel half: flash stats per column shard + the
+    # pmax/psum combine algebra (parallel/sharded.py:154-155)
+    half = n_pad // 2
+    shards = []
+    for lo, valid in ((0, half), (half, out_dim - half)):
+        w = qnet.weights[-1][:, lo : lo + half]
+        cs = qnet.colsum128[-1][lo : lo + half]
+        b = qnet.biases[-1][lo : lo + half]
+        z, m_l, s_l = pb.output_flash_stats(
+            acts, w, cs, qnet.inv_scales[-1], b, None,
+            valid_count=jnp.int32(valid), interpret=interpret,
+        )
+        shards.append((np.asarray(z), np.asarray(m_l), np.asarray(s_l)))
+    m_g = np.maximum(shards[0][1], shards[1][1])
+    s_g = sum(s * np.exp(m - m_g) for _, m, s in shards)
+    p_tp = np.concatenate(
+        [np.exp(z - m_g) / s_g for z, _, _ in shards], axis=1
+    )[:, :out_dim]
+    want_p = _oracle_posteriors(qnet, want_acts, None, out_dim, "reference")
+    ok &= _close("flash_stats_tp_combine", p_tp, want_p, POSTERIOR_ATOL, detail)
+    return ok
+
+
+def check_engine(detail, batch: int) -> bool:
+    """Full engine: Scorer(pallas) vs Scorer(xla) on the same device."""
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    interpret = jax.devices()[0].platform != "tpu"
+    net = random_net(jax.random.PRNGKey(3), 432, [512] * 4, 1000)
+    qnet = quantize_net(net, cutoff=3.0)
+    sc_p = Scorer(qnet, EngineConfig(backend="pallas", interpret=interpret))
+    sc_x = Scorer(qnet, EngineConfig(backend="xla"))
+    rng = np.random.default_rng(3)
+    frames = rng.standard_normal((batch, 432)).astype(np.float32)
+
+    ok = _close("engine_posteriors", sc_p.score(frames), sc_x.score(frames),
+                POSTERIOR_ATOL, detail)
+    masks = (rng.random((batch, 1000)) < 0.4).astype(np.uint8)
+    ok &= _close("engine_posteriors_masked", sc_p.score_masked(frames, masks),
+                 sc_x.score_masked(frames, masks), POSTERIOR_ATOL, detail)
+
+    # hidden activations bitwise across the two engines (padded widths match
+    # on the hidden trunk: 512 is already x128)
+    pf, _ = sc_p._prepare(frames)
+    xf, _ = sc_x._prepare(frames)
+    acts_p = np.asarray(sc_p._hidden(sc_p.net, pf))
+    acts_x = np.asarray(sc_x._hidden(sc_x.net, xf))
+    ok &= _bitwise("engine_hidden_acts_bitwise", acts_p[: batch],
+                   acts_x[: batch], detail)
+    return ok
+
+
+def check_golden(detail) -> bool:
+    """Cross-engine parity vs the compiled reference's recorded output."""
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.formats.binary import read_features, read_model
+    from fastdnn_tpu.models.feedforward import from_raw
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    golden = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "tests", "golden")
+    interpret = jax.devices()[0].platform != "tpu"
+    raw = read_model(os.path.join(golden, "parity_model.bin"))
+    ref = read_features(os.path.join(golden, "parity_ref_posteriors.bin"))
+    frames = read_features("/root/reference/data/8khz.aligned.bin")
+    qnet = quantize_net(from_raw(raw), cutoff=3.0)
+    ours = Scorer(qnet, EngineConfig(backend="pallas", interpret=interpret)).score(frames)
+    d = np.abs(ours - ref)
+    sum_dp = float(d.sum(axis=0).max())
+    # argmax agreement on frames whose reference top-2 margin is resolvable
+    srt = np.sort(ref, axis=1)
+    resolvable = (srt[:, -1] - srt[:, -2]) > 10 * d.max()
+    agree = float((ours[resolvable].argmax(1) == ref[resolvable].argmax(1)).mean())
+    ok = sum_dp < 0.02 and agree == 1.0  # 5x tighter than FuncTest.java:70-72
+    detail["golden_parity"] = {
+        "ok": ok, "sum_dp_max": sum_dp, "gate": 0.02,
+        "argmax_agreement": agree, "resolvable_frames": int(resolvable.sum()),
+    }
+    return ok
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=512,
+                   help="frame count for kernel/engine checks (x32)")
+    p.add_argument("--out", default=None, help="also write the JSON to a file")
+    args = p.parse_args(argv)
+
+    from fastdnn_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+    platform = jax.devices()[0].platform
+    t0 = time.time()
+    detail: dict = {}
+    ok = True
+    for fn in (lambda d: check_sigmoid(d),
+               lambda d: check_kernels(d, args.batch),
+               lambda d: check_engine(d, args.batch),
+               lambda d: check_golden(d)):
+        try:
+            ok &= fn(detail)
+        except Exception as e:  # a crash is a failure, not a skip
+            ok = False
+            detail[f"EXCEPTION_{fn.__code__.co_firstlineno}"] = {
+                "ok": False, "error": f"{type(e).__name__}: {e}"}
+    result = {
+        "ok": bool(ok),
+        "platform": platform,
+        "compiled": platform == "tpu",
+        "batch": args.batch,
+        "checks_passed": sum(1 for v in detail.values() if v.get("ok")),
+        "checks_total": len(detail),
+        "wall_s": round(time.time() - t0, 1),
+        "checks": detail,
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
