@@ -157,7 +157,13 @@ def run_config(name: str, backend: str, iters: int) -> dict:
         frames = jax.block_until_ready(
             jax.random.normal(jax.random.PRNGKey(0), (b, 432), jnp.float32)
         )
-        opaque = scorer._backend == "pallas" and scorer.config.fused_softmax
+        from fastdnn_tpu.engine.scorer import uses_resident_output
+
+        opaque = (
+            scorer._backend == "pallas"
+            and scorer.config.fused_softmax
+            and uses_resident_output(scorer.net, scorer.config.block_frames_out)
+        )
         for density in (0.3, 0.5):
             masks = jax.block_until_ready(gen_masks(jax.random.PRNGKey(1), density=density))
             score_once = lambda x, m: scorer._score_masked(scorer.net, x, m)
@@ -263,8 +269,18 @@ def main(argv=None) -> int:
         return round(x, nd) if nd is not None else round(x)
 
     # full (non-lazy) scoring; pallas + fused softmax emits posteriors from
-    # one opaque pallas_call, so the slice feedback alone keeps it live
-    opaque = scorer._backend == "pallas" and scorer.config.fused_softmax
+    # one opaque pallas_call, so the slice feedback alone keeps it live.
+    # Structurally gated on the RESIDENT kernel actually being selected:
+    # the stats fallback's normalize epilogue is XLA-visible and could be
+    # narrowed to the fed-back columns, under-charging posterior
+    # materialization (uses_resident_output mirrors the kernel choice).
+    from fastdnn_tpu.engine.scorer import uses_resident_output
+
+    opaque = (
+        scorer._backend == "pallas"
+        and scorer.config.fused_softmax
+        and uses_resident_output(scorer.net, scorer.config.block_frames_out)
+    )
     fps = chained_frames_per_s(
         lambda x: scorer._score(scorer.net, x),
         frames,

@@ -140,6 +140,29 @@ def output_logits(
     )
 
 
+def uses_resident_output(net: QuantizedNet, block_frames_out: int = 256) -> bool:
+    """True when _fused_posteriors selects the one-kernel RESIDENT softmax,
+    i.e. posteriors come out of a single opaque pallas_call whose execution
+    XLA can neither dead-code nor narrow.  bench.py keys its feedback-chain
+    liveness strategy off this (an XLA-visible normalize epilogue, as in the
+    stats fallback, could be narrowed to the consumed columns and
+    under-charge posterior materialization).
+
+    Mirrors the kernel's own VMEM budget (weights + double-buffered
+    activation/posterior/mask blocks + slack, x1.25): if it would not fit
+    under the 100 MB clamp the kernel requests, the stats fallback runs
+    instead of tripping a Mosaic scoped-vmem compile error.
+    """
+    k, n = net.weights[-1].shape
+    working_set = (
+        k * n + 2 * block_frames_out * k + 10 * block_frames_out * n + (1 << 22)
+    )
+    return (
+        k * n <= RESIDENT_OUTPUT_MAX_BYTES
+        and working_set * 1.25 <= 100 * 1024 * 1024
+    )
+
+
 def _fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, fast, out_blocks=None):
     """Fused output + softmax, picking the best kernel for the net size.
 
@@ -152,14 +175,7 @@ def _fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, fast, 
     """
     from . import pallas_backend
 
-    k, n = net.weights[-1].shape
-    bm = out_blocks[0] if out_blocks is not None else 256
-    # mirror the kernel's own VMEM budget (weights + double-buffered
-    # activation/posterior/mask blocks + slack, x1.25): if it would not fit
-    # under the 100 MB clamp the kernel requests, use the stats fallback
-    # instead of tripping a Mosaic scoped-vmem compile error
-    working_set = k * n + 2 * bm * k + 8 * bm * n + 2 * bm * n + (1 << 22)
-    if k * n <= RESIDENT_OUTPUT_MAX_BYTES and working_set * 1.25 <= 100 * 1024 * 1024:
+    if uses_resident_output(net, out_blocks[0] if out_blocks is not None else 256):
         return pallas_backend.output_posteriors_resident(
             acts,
             net.weights[-1],
@@ -547,7 +563,15 @@ class Scorer:
         return self._finish(out, n)
 
     def score_device(self, frames: jax.Array) -> jax.Array:
-        """Device-resident variant (no host transfers, no padding)."""
+        """Device-resident variant (no host transfers, no padding).
+
+        Width caveat: on a model-sharded mesh (model > 1) the returned
+        posteriors keep the MXU-padded output width ([B, padded_output_dim],
+        padded columns exactly 0) — slicing to the true senone count would
+        force a cross-shard reshard, defeating the no-transfer point of this
+        API.  Single-device and model=1 programs return [B, output_dim].
+        Host-side score()/score_masked() always slice via _finish().
+        """
         return self._score(self.net, frames)
 
     def score_masked(self, frames, masks) -> np.ndarray:
@@ -625,7 +649,7 @@ class Scorer:
         masks to the program's output width, then slices both back.
         """
         b = acts.shape[0]
-        rows = 32 * self._data_size if self.mesh is not None else b
+        rows = aligned_size(b, 32 * self._data_size) if self.mesh is not None else b
         if acts.shape[0] != rows:
             acts = jnp.pad(acts, ((0, rows - b), (0, 0)))
         masks_p = self._pad_masks(np.asarray(masks), rows)

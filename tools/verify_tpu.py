@@ -312,8 +312,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None, help="also write the JSON to a file")
     args = p.parse_args(argv)
 
-    from fastdnn_tpu.config import enable_compilation_cache
+    from fastdnn_tpu.config import enable_compilation_cache, honor_jax_platforms_env
 
+    honor_jax_platforms_env()  # the axon hook force-registers TPU over the env
     enable_compilation_cache()
     platform = jax.devices()[0].platform
     t0 = time.time()
