@@ -6,14 +6,32 @@ call a pod-wide jitted program.  `MultiHostScorer` solves this the standard
 SPMD-serving way:
 
   * process 0 (the coordinator) exposes the normal Scorer API; each scoring
-    call first broadcasts a small header + the batch to all processes
-    (jax.experimental.multihost_utils.broadcast_one_to_all), then every
-    process enters the same sharded program together;
-  * processes 1..N-1 run `worker_loop()`, which blocks on the next
-    broadcast and mirrors the coordinator's device calls;
+    call first broadcasts a small header to all processes, ships each
+    process ITS slice of the payload (see below), then every process enters
+    the same sharded program together;
+  * processes 1..N-1 run `worker_loop()`, which blocks on the next header
+    and mirrors the coordinator's device calls;
   * an optional heartbeat thread broadcasts no-ops while idle so the
     workers' pending collective never hits the runtime's timeout;
   * `close()` broadcasts a stop op; `worker_loop` returns.
+
+Payload distribution (pod-scale DCN economics): by default the coordinator
+SCATTERS — each worker process receives only its own data-axis rows of the
+frame/mask batch through the distributed KV store (the same coordination
+service jax.distributed already runs), so per-call cross-host traffic is
+~batch_bytes, not hosts x batch_bytes.  `scatter=False` falls back to the
+simple full-batch `broadcast_one_to_all` (every process gets everything),
+kept for debugging and for runtimes without a KV client.  Model-sharded
+arrays (the output layer) never move at call time in either mode — only
+the per-call frames/masks do.
+
+Failure model: a dead worker stalls the pod's next collective forever (the
+runtime cannot cancel a hung all-reduce).  `call_timeout_s` arms a watchdog
+around every coordinated call: on expiry the scorer marks itself closed and
+raises RuntimeError — callers get a clean, loud failure instead of a silent
+hang, and supervisors must restart all processes (the collectives cannot be
+resynchronized).  Workers log loudly and re-raise on their side
+(worker_loop).
 
 With a single process (jax.process_count() == 1) the wrapper is inert and
 MultiHostScorer behaves exactly like Scorer(mesh=...) — so CLIs can always
@@ -43,11 +61,24 @@ from ..quant.quantize import QuantizedNet
 
 OP_STOP, OP_NOOP, OP_SCORE, OP_MASKED = 0, 1, 2, 3
 
+#: KV-store key prefix for scattered payload slices (coordination-service
+#: namespace; keys are deleted by their reader)
+_KV_PREFIX = "fastdnn/scatter"
+
 
 def _broadcast(x: np.ndarray) -> np.ndarray:
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.broadcast_one_to_all(x))
+
+
+def _kv_client():
+    """The jax.distributed coordination-service KV client, or None."""
+    try:
+        client = jax.distributed.global_state.client
+    except Exception:  # pragma: no cover - old jax layout
+        client = None
+    return client
 
 
 def _to_global(mesh, spec, arr: np.ndarray):
@@ -60,12 +91,38 @@ def _to_global(mesh, spec, arr: np.ndarray):
     return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
 
+def _process_row_range(mesh, spec, shape) -> tuple[int, int]:
+    """This process's contiguous data-axis row range [start, stop) under
+    NamedSharding(mesh, spec) for a global `shape` array."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    me = jax.process_index()
+    starts, stops = [], []
+    for dev, idx in sharding.devices_indices_map(tuple(shape)).items():
+        if dev.process_index != me:
+            continue
+        rows = idx[0]
+        starts.append(0 if rows.start is None else rows.start)
+        stops.append(shape[0] if rows.stop is None else rows.stop)
+    if not starts:
+        return 0, 0
+    lo, hi = min(starts), max(stops)
+    return lo, hi
+
+
 class MultiHostScorer(Scorer):
-    """Scorer over a multi-process mesh with coordinator-side broadcast.
+    """Scorer over a multi-process mesh with coordinator-side distribution.
 
     Construct identically in every process (same net bytes, same config,
     same mesh); call `worker_loop()` in processes != 0; use the normal
     Scorer API in process 0.
+
+    scatter: ship each process only its data-axis payload slice (default);
+        False = full-batch broadcast to every process.
+    call_timeout_s: watchdog for coordinated calls — expiry means a worker
+        is unreachable; the scorer closes itself and raises.  None = wait
+        forever (the r1 behavior).
     """
 
     def __init__(
@@ -75,6 +132,8 @@ class MultiHostScorer(Scorer):
         mesh=None,
         *,
         heartbeat_s: float = 5.0,
+        scatter: bool = True,
+        call_timeout_s: Optional[float] = None,
     ):
         if mesh is None:
             raise ValueError("MultiHostScorer requires a mesh")
@@ -83,8 +142,11 @@ class MultiHostScorer(Scorer):
         self.is_coordinator = jax.process_index() == 0
         self._closed = False
         self._hb_thread: Optional[threading.Thread] = None
+        self._call_timeout_s = call_timeout_s
         if not self._multi:
             return
+        self._scatter = scatter and _kv_client() is not None
+        self._seq = 0
         # every broadcast pair (header, payload) must be serialized: the
         # heartbeat and concurrent scorers may not interleave collectives
         self._bcast_lock = threading.Lock()
@@ -116,35 +178,131 @@ class MultiHostScorer(Scorer):
                 )
                 self._hb_thread.start()
 
+    # -- payload distribution --------------------------------------------------
+
+    def _ship_global(self, seq: int, tag: str, spec, arr: np.ndarray):
+        """Coordinator: turn a full host batch into the global sharded array,
+        shipping each worker only its rows (scatter) or everything
+        (broadcast fallback).  Returns the global jax.Array."""
+        if not self._scatter:
+            _broadcast(arr)
+            return _to_global(self.mesh, spec, arr)
+        client = _kv_client()
+        # per-process contiguous row ranges (frame counts are bucketed to a
+        # multiple of the data axis, so ranges tile [0, n) evenly)
+        from jax.sharding import NamedSharding
+
+        sharding = NamedSharding(self.mesh, spec)
+        workers = sorted(
+            {d.process_index for d in sharding.devices_indices_map(tuple(arr.shape))}
+            - {0}
+        )
+        for p in workers:
+            lo, hi = _row_range_for_process(sharding, arr.shape, p)
+            client.key_value_set_bytes(
+                f"{_KV_PREFIX}/{seq}/{tag}/{p}", arr[lo:hi].tobytes()
+            )
+        lo, hi = _process_row_range(self.mesh, spec, arr.shape)
+        return _assemble(sharding, np.ascontiguousarray(arr[lo:hi]), lo, arr.shape)
+
+    def _recv_global(self, seq: int, tag: str, spec, shape, dtype):
+        """Worker: fetch this process's rows and assemble the global array."""
+        from jax.sharding import NamedSharding
+
+        if not self._scatter:
+            arr = _broadcast(np.zeros(shape, dtype))
+            return _to_global(self.mesh, spec, arr)
+        client = _kv_client()
+        lo, hi = _process_row_range(self.mesh, spec, shape)
+        key = f"{_KV_PREFIX}/{seq}/{tag}/{jax.process_index()}"
+        timeout_ms = int((self._call_timeout_s or 300.0) * 1000)
+        raw = client.blocking_key_value_get_bytes(key, timeout_ms)
+        try:
+            client.key_value_delete(key)
+        except Exception:  # cleanup is best-effort
+            pass
+        local = np.frombuffer(raw, dtype=dtype).reshape(hi - lo, *shape[1:])
+        sharding = NamedSharding(self.mesh, spec)
+        return _assemble(sharding, local, lo, tuple(shape))
+
     # -- coordinator side ----------------------------------------------------
+
+    def _with_watchdog(self, fn):
+        """Run fn(); if call_timeout_s elapses first, declare the pod dead.
+
+        The hung collective cannot be cancelled — the runner thread is
+        abandoned (daemon) and the scorer closes so subsequent calls fail
+        fast instead of stacking up behind a dead pod.
+        """
+        if self._call_timeout_s is None:
+            return fn()
+        result: list = [None]
+        error: list = [None]
+
+        def run():
+            try:
+                result[0] = fn()
+            except BaseException as e:  # surfaced to the caller below
+                error[0] = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(self._call_timeout_s)
+        if t.is_alive():
+            self._closed = True
+            raise RuntimeError(
+                f"multi-host scoring call did not complete within "
+                f"{self._call_timeout_s}s — a worker process is likely dead "
+                "and the pod's collectives cannot make progress; restart "
+                "all processes"
+            )
+        if error[0] is not None:
+            raise error[0]
+        return result[0]
 
     def _coordinated_score(self, net, padded, _masks=None):
         frames = np.asarray(padded, np.float32)
-        with self._bcast_lock:
-            if self._closed:
-                raise RuntimeError("MultiHostScorer is closed (workers released)")
-            _broadcast(np.array([OP_SCORE, frames.shape[0], frames.shape[1], 0], np.int32))
-            _broadcast(frames)
-            gf = _to_global(self.mesh, self._frames_spec, frames)
-            return self._replicate(self._score_prog(net, gf))
+
+        def call():
+            self._check_open()  # fail fast: the lock may be held by a hung call
+            with self._bcast_lock:
+                self._check_open()
+                self._seq += 1
+                _broadcast(np.array(
+                    [OP_SCORE, frames.shape[0], frames.shape[1], 0, self._seq],
+                    np.int32,
+                ))
+                gf = self._ship_global(self._seq, "f", self._frames_spec, frames)
+                return self._replicate(self._score_prog(net, gf))
+
+        return self._with_watchdog(call)
+
+    def _check_open(self):
+        if self._closed:
+            raise RuntimeError(
+                "MultiHostScorer is closed (workers released or pod declared "
+                "dead)"
+            )
 
     def _coordinated_masked(self, net, padded, masks):
         frames = np.asarray(padded, np.float32)
         masks = np.asarray(masks, np.uint8)
-        with self._bcast_lock:
-            if self._closed:
-                raise RuntimeError("MultiHostScorer is closed (workers released)")
-            _broadcast(
-                np.array(
-                    [OP_MASKED, frames.shape[0], frames.shape[1], masks.shape[1]],
+
+        def call():
+            self._check_open()
+            with self._bcast_lock:
+                self._check_open()
+                self._seq += 1
+                _broadcast(np.array(
+                    [OP_MASKED, frames.shape[0], frames.shape[1],
+                     masks.shape[1], self._seq],
                     np.int32,
-                )
-            )
-            _broadcast(frames)
-            _broadcast(masks)
-            gf = _to_global(self.mesh, self._frames_spec, frames)
-            gm = _to_global(self.mesh, self._masks_spec, masks)
-            return self._replicate(self._masked_prog(net, gf, gm))
+                ))
+                gf = self._ship_global(self._seq, "f", self._frames_spec, frames)
+                gm = self._ship_global(self._seq, "m", self._masks_spec, masks)
+                return self._replicate(self._masked_prog(net, gf, gm))
+
+        return self._with_watchdog(call)
 
     def _heartbeat(self, interval: float) -> None:
         import time
@@ -156,7 +314,7 @@ class MultiHostScorer(Scorer):
             with self._bcast_lock:
                 if self._closed:
                     return
-                _broadcast(np.array([OP_NOOP, 0, 0, 0], np.int32))
+                _broadcast(np.array([OP_NOOP, 0, 0, 0, 0], np.int32))
 
     def close(self) -> None:
         """Coordinator: release the workers (broadcast stop)."""
@@ -165,7 +323,7 @@ class MultiHostScorer(Scorer):
             return
         with self._bcast_lock:
             self._closed = True
-            _broadcast(np.array([OP_STOP, 0, 0, 0], np.int32))
+            _broadcast(np.array([OP_STOP, 0, 0, 0, 0], np.int32))
 
     # -- worker side -----------------------------------------------------------
 
@@ -182,16 +340,16 @@ class MultiHostScorer(Scorer):
         assert not self.is_coordinator, "worker_loop is for processes != 0"
         try:
             while True:
-                op, n, d, m = _broadcast(np.zeros(4, np.int32))
+                op, n, d, m, seq = _broadcast(np.zeros(5, np.int32))
                 if op == OP_STOP:
                     return
                 if op == OP_NOOP:
                     continue
-                frames = _broadcast(np.zeros((n, d), np.float32))
-                gf = _to_global(self.mesh, self._frames_spec, frames)
+                gf = self._recv_global(seq, "f", self._frames_spec, (n, d),
+                                       np.float32)
                 if op == OP_MASKED:
-                    masks = _broadcast(np.zeros((n, m), np.uint8))
-                    gm = _to_global(self.mesh, self._masks_spec, masks)
+                    gm = self._recv_global(seq, "m", self._masks_spec, (n, m),
+                                           np.uint8)
                     out = self._masked_prog(self.net, gf, gm)
                 else:
                     out = self._score_prog(self.net, gf)
@@ -216,3 +374,40 @@ class MultiHostScorer(Scorer):
                 "score_masked (batched lazy semantics) or a single-process mesh"
             )
         return super().new_lazy_context(input_vector_count)
+
+
+def _row_range_for_process(sharding, shape, process_index: int) -> tuple[int, int]:
+    """Contiguous data-axis row range owned by `process_index`.
+
+    Mesh device order is process-major (parallel.mesh.make_mesh uses
+    jax.devices(), which lists each process's devices consecutively), so a
+    process's data rows form one contiguous [min, max) window; a model axis
+    spanning processes degenerates to the full range (every process then
+    genuinely needs all rows).
+    """
+    starts, stops = [], []
+    for dev, idx in sharding.devices_indices_map(tuple(shape)).items():
+        if dev.process_index != process_index:
+            continue
+        rows = idx[0]
+        starts.append(0 if rows.start is None else rows.start)
+        stops.append(shape[0] if rows.stop is None else rows.stop)
+    return (min(starts), max(stops)) if starts else (0, 0)
+
+
+def _assemble(sharding, local_rows: np.ndarray, lo: int, shape):
+    """Global sharded array from this process's row window [lo, lo+len).
+
+    make_array_from_callback asks for each ADDRESSABLE shard by global
+    index; shifting the row slice into the local window serves any spec —
+    row-sharded masks/frames and column-sharded (model-axis) masks alike
+    (columns are always fully present in the shipped rows).
+    """
+
+    def cb(idx):
+        rows = idx[0]
+        r0 = (rows.start or 0) - lo
+        r1 = (shape[0] if rows.stop is None else rows.stop) - lo
+        return local_rows[(slice(r0, r1),) + tuple(idx[1:])]
+
+    return jax.make_array_from_callback(tuple(shape), sharding, cb)

@@ -93,6 +93,60 @@ def main() -> int:
     if mode == "serve":
         return serve_mode(num, pid, out_dir)
 
+    if mode == "worker-death":
+        # failure-detection test: the worker crashes after one successful
+        # scoring op; the coordinator's call_timeout_s watchdog must surface
+        # a clean error (not a silent hang) and subsequent calls fail fast
+        import numpy as np
+
+        from fastdnn_tpu.config import EngineConfig
+        from fastdnn_tpu.models.feedforward import random_net
+        from fastdnn_tpu.parallel.mesh import make_mesh
+        from fastdnn_tpu.parallel.service import MultiHostScorer
+        from fastdnn_tpu.quant.quantize import quantize_net
+
+        qnet = quantize_net(random_net(jax.random.PRNGKey(5), 32, [64, 64], 32))
+        mesh = make_mesh(model=2)
+        sc = MultiHostScorer(qnet, EngineConfig(backend="xla"), mesh,
+                             heartbeat_s=0, call_timeout_s=15.0)
+        frames = np.random.default_rng(7).standard_normal((16, 32)).astype(np.float32)
+        if pid != 0:
+            orig = sc._replicate
+
+            def replicate_then_die(x):
+                out = orig(x)
+                out.block_until_ready()
+                os._exit(17)  # crash WITHOUT the stop op (simulated death)
+
+            sc._replicate = replicate_then_die
+            sc.worker_loop()
+            return 0
+
+        post = sc.score(frames)  # both processes alive: must succeed
+        assert post.shape == (16, qnet.output_dim)
+        import time
+
+        time.sleep(1.5)  # let the worker finish dying
+        try:
+            sc.score(frames)
+            print("FATAL: dead worker not detected")
+            return 3
+        except Exception as e:
+            print(f"death surfaced: {type(e).__name__}: {e}")
+        try:
+            sc.score(frames)  # scorer closed itself: must fail FAST now
+            print("FATAL: closed scorer accepted a call")
+            return 4
+        except RuntimeError:
+            pass
+        with open(os.path.join(out_dir, "death_ok"), "w") as f:
+            f.write("ok")
+        sys.stdout.flush()
+        # the pod is known-dead: jax.distributed's atexit shutdown barrier
+        # would fail against the crashed worker and dirty the exit code —
+        # hard-exit (a supervisor would restart all processes here anyway)
+        os._exit(0)
+
     if mode == "tp-across":
         # model axis spanning BOTH processes: the sharded softmax's
         # pmax/psum collectives cross the process boundary (DCN-like),
@@ -108,7 +162,10 @@ def main() -> int:
         net = random_net(jax.random.PRNGKey(5), 32, [64, 64], 64)
         qnet = quantize_net(net)
         mesh = make_mesh(model=len(devices))  # (data=1, model=8): all-TP
-        sc = MultiHostScorer(qnet, EngineConfig(backend="xla"), mesh, heartbeat_s=0.5)
+        # scatter=False: keeps the full-broadcast fallback path covered
+        # (serve/worker-death modes cover the default scatter path)
+        sc = MultiHostScorer(qnet, EngineConfig(backend="xla"), mesh,
+                             heartbeat_s=0.5, scatter=False)
         if pid != 0:
             sc.worker_loop()
             return 0

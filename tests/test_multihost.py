@@ -102,6 +102,31 @@ def test_two_process_tcp_serving_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_worker_death_surfaces_clean_error(tmp_path):
+    """Failure detection: process 1 crashes mid-stream (no stop op).  The
+    coordinator's call_timeout_s watchdog must raise within the timeout —
+    not hang silently — and the scorer must fail fast afterwards.  Process
+    1's nonzero exit (os._exit(17)) is the EXPECTED crash."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coord, "2", str(pid), str(tmp_path), "worker-death"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    assert procs[0].returncode == 0, f"coordinator failed:\n{outs[0][-3000:]}"
+    assert procs[1].returncode == 17, f"worker did not simulate death:\n{outs[1][-2000:]}"
+    assert (tmp_path / "death_ok").exists()
+    assert "death surfaced" in outs[0]
+
+
+@pytest.mark.slow
 def test_tensor_parallel_across_processes(tmp_path):
     """Model axis spanning both processes: the exact sharded softmax's
     pmax/psum collectives cross the process boundary (the DCN analog),
