@@ -664,6 +664,326 @@ def output_layer_flash_stats(
     return z, m[:, :1], s[:, :1]
 
 
+def _block_sparse_kernel_factory(bm: int, bn: int, semantics: str):
+    """Masked output kernel that SKIPS node blocks whose mask block is
+    all-zero — the TPU translation of the reference's lazy dot-product
+    skipping (dnn.cc:355-392), at MXU-block granularity instead of per
+    senone.
+
+    Same grid/stats structure as _stats_kernel_factory (frames fastest,
+    flash stats in persistent scratch), plus two tiny SMEM side inputs:
+
+      act[j, i]  — nonzero iff mask block (i, j) has any active senone;
+                   `pl.when(act == 0)` skips the matmul, the epilogue
+                   write becomes a constant fill, and the stats update
+                   vanishes;
+      nskip[i]   — per frame block, the number of REAL (non-padding)
+                   senone columns covered by skipped blocks.  Under
+                   reference semantics those senones carry logit 0 and
+                   STILL join the softmax (dnn.cc:369-389), so the running
+                   stats are INITIALIZED to (m=0, s=nskip) — each skipped
+                   zero contributes exp(0-0)=1 — and the online update
+                   then reproduces the dense kernel's result exactly.
+                   active_only skips contribute nothing (init NEG_CAP/0).
+
+    Weight-block DMA is unchanged (frames-fastest already loads each
+    weight block once per batch sweep); the win is the skipped MXU matmul
+    + VPU stats work, which at decoder densities is most of the output
+    stage.  Bit-compatibility with the dense masked kernel is gated by
+    tests/test_kernels.py and tools/verify_tpu.py.
+    """
+
+    def kernel(x_ref, w_ref, colsum_ref, bias_ref, inv_ref, valid_ref,
+               mask_ref, act_ref, nskip_ref, z_ref, m_ref, s_ref,
+               m_acc, s_acc):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        nj = pl.num_programs(0)
+        NEG_CAP = jnp.float32(-1e30)
+        rows = pl.ds(i * bm, bm)
+        active = act_ref[j, i] != 0
+
+        @pl.when(j == 0)
+        def _():
+            if semantics == "reference":
+                nskip = nskip_ref[i].astype(jnp.float32)
+                m0 = jnp.where(nskip > 0, 0.0, NEG_CAP)
+                s0 = nskip
+            else:
+                m0 = NEG_CAP
+                s0 = jnp.float32(0.0)
+            m_acc[rows] = jnp.full((bm, LANES), m0, jnp.float32)
+            s_acc[rows] = jnp.full((bm, LANES), s0, jnp.float32)
+
+        @pl.when(active)
+        def _():
+            acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+            z = (acc + colsum_ref[:]).astype(jnp.float32) * inv_ref[0, 0] + bias_ref[:]
+            if semantics == "reference":
+                z = jnp.where(mask_ref[:] != 0, z, 0.0)
+            else:
+                z = jnp.where(mask_ref[:] != 0, z, NEG_CAP)
+            col = j * bn + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+            z = jnp.where(col < valid_ref[0, 0], z, NEG_CAP)
+            z_ref[:] = z
+            zm = jnp.maximum(jnp.max(z, axis=1, keepdims=True), NEG_CAP)
+            m_old = m_acc[rows]
+            m_new = jnp.maximum(m_old, zm)
+            block_sum = jnp.sum(jnp.exp(z - zm), axis=1, keepdims=True)
+            s_acc[rows] = (
+                s_acc[rows] * jnp.exp(m_old - m_new) + block_sum * jnp.exp(zm - m_new)
+            )
+            m_acc[rows] = m_new
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            # reference: skipped senones keep logit 0 (their stats ride the
+            # nskip init); active_only: capped out of the softmax entirely.
+            # Padding columns are never read (the epilogue slices :out_dim).
+            fill = 0.0 if semantics == "reference" else NEG_CAP
+            z_ref[:] = jnp.full((bm, bn), fill, jnp.float32)
+
+        @pl.when(j == nj - 1)
+        def _():
+            m_ref[:] = m_acc[rows]
+            s_ref[:] = s_acc[rows]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dim", "semantics", "block_frames", "block_nodes", "interpret"),
+)
+def output_layer_posteriors_block_sparse(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    masks: jax.Array,
+    *,
+    out_dim: int,
+    semantics: str = "reference",
+    block_frames: int = 256,
+    block_nodes: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Masked output + softmax with all-inactive node blocks SKIPPED.
+
+    Posteriors equal the dense masked kernels (output_layer_posteriors /
+    _resident) to softmax reduction-order roundoff; the win scales with
+    the fraction of (frame block x node block) tiles whose mask is all
+    zero — near nil for random masks, large for real decoder masks with a
+    senone-clustering permutation (engine.cluster).  See BENCHMARKS.md
+    "block-sparse lazy" for the measured verdict.
+    """
+    b, k = acts_i8.shape
+    n = w_i8.shape[1]
+    bm = min(block_frames, b)
+    while b % bm:
+        bm //= 2
+    bn = min(block_nodes, n)
+    while n % bn:
+        bn //= 2
+    _check_shapes(acts_i8, w_i8, colsum128_i32, bias_f32, bm, bn)
+    if masks.shape != (b, n):
+        raise ValueError(f"masks must be [{b}, {n}], got {masks.shape}")
+    ni, nj = b // bm, n // bn
+    grid = (nj, ni)  # frames iterate fastest: weight block reused
+
+    # tiny XLA prologue: block activity + skipped-real-column counts
+    mblocks = (masks != 0).reshape(ni, bm, nj, bn)
+    act = mblocks.any(axis=(1, 3))  # [ni, nj]
+    real_cols = jnp.clip(out_dim - jnp.arange(nj) * bn, 0, bn)  # [nj]
+    nskip = jnp.sum(
+        jnp.where(act, 0, real_cols[None, :]), axis=1, dtype=jnp.int32
+    )  # [ni]
+
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # act [nj, ni], whole array
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # nskip [ni], whole array
+    ]
+    last_sweep = lambda j, i: (jnp.where(j == nj - 1, i, 0), 0)
+    out_specs = (
+        pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, LANES), last_sweep, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, LANES), last_sweep, memory_space=pltpu.VMEM),
+    )
+    z, m, s = pl.pallas_call(
+        _block_sparse_kernel_factory(bm, bn, semantics),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, LANES), jnp.float32),
+            pltpu.VMEM((b, LANES), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * k,
+            bytes_accessed=b * k + k * n + 4 * b * n,
+            transcendentals=b * n,
+        ),
+        interpret=interpret,
+    )(
+        acts_i8,
+        w_i8,
+        colsum128_i32.reshape(1, n),
+        bias_f32.reshape(1, n),
+        jnp.asarray(inv_scale_f32, jnp.float32).reshape(1, 1),
+        jnp.asarray(out_dim, jnp.int32).reshape(1, 1),
+        masks,
+        act.T.astype(jnp.int32),
+        nskip,
+    )
+    p = jnp.exp(z[:, :out_dim] - m[:, :1]) / jnp.maximum(
+        s[:, :1], jnp.finfo(jnp.float32).tiny
+    )
+    # fully-masked active_only rows (running max still at the cap) -> zeros
+    return jnp.where(m[:, :1] > -1e29, p, 0.0)
+
+
+def _resident_block_sparse_kernel_factory(
+    out_dim: int, semantics: str, nj: int, bn: int
+):
+    """Resident-weights masked softmax with per-step node-SUB-block
+    skipping: the whole [K, N] weight matrix stays in VMEM (as in
+    _resident_softmax_kernel_factory) and each frame-block step runs an
+    UNROLLED loop of nj sub-block matmuls, each guarded by
+    `pl.when(mask sub-block has any active senone)`.  Skipped sub-blocks
+    write their softmax fill (0 logits under reference semantics, the cap
+    under active_only) straight into the VMEM z scratch — so unlike the
+    stats-based block-sparse kernel there is NO logits HBM round-trip at
+    all: the only HBM writes are the final posteriors, and the win is the
+    skipped MXU work itself."""
+
+    def kernel(x_ref, w_ref, colsum_ref, bias_ref, inv_ref, mask_ref,
+               act_ref, p_ref, z_scr):
+        i = pl.program_id(0)
+        NEG_CAP = jnp.float32(-1e30)
+        fill = jnp.float32(0.0 if semantics == "reference" else -1e30)
+        for j in range(nj):  # static unroll: each sub-block is predicated
+            cols = slice(j * bn, (j + 1) * bn)
+
+            @pl.when(act_ref[j, i] != 0)
+            def _(j=j, cols=cols):
+                acc = jnp.dot(
+                    x_ref[:], w_ref[:, cols], preferred_element_type=jnp.int32
+                )
+                z = (acc + colsum_ref[:, cols]).astype(jnp.float32) * inv_ref[0, 0] \
+                    + bias_ref[:, cols]
+                if semantics == "reference":
+                    z = jnp.where(mask_ref[:, cols] != 0, z, 0.0)
+                else:
+                    z = jnp.where(mask_ref[:, cols] != 0, z, NEG_CAP)
+                col = j * bn + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+                z_scr[:, cols] = jnp.where(col < out_dim, z, NEG_CAP)
+
+            @pl.when(act_ref[j, i] == 0)
+            def _(j=j, cols=cols):
+                col = j * bn + jax.lax.broadcasted_iota(
+                    jnp.int32, (z_scr.shape[0], bn), 1
+                )
+                z_scr[:, cols] = jnp.where(col < out_dim, fill, NEG_CAP)
+
+        z = z_scr[:]
+        m = jnp.max(z, axis=1, keepdims=True)
+        e = jnp.exp(z - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        p = jnp.where(m > jnp.float32(-1e29), p, 0.0)
+        p_ref[:] = p[:, :out_dim]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dim", "semantics", "block_frames", "block_nodes", "interpret"),
+)
+def output_layer_posteriors_resident_block_sparse(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    masks: jax.Array,
+    *,
+    out_dim: int,
+    semantics: str = "reference",
+    block_frames: int = 256,
+    block_nodes: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Masked resident softmax with node-sub-block skipping -> [B, out_dim].
+
+    block_nodes here is the SKIP granularity (the unrolled sub-block
+    width), not a grid dimension.  Equal to the dense resident kernel's
+    posteriors up to softmax reduction-order roundoff.
+    """
+    b, k = acts_i8.shape
+    n = w_i8.shape[1]
+    bm = min(block_frames, b)
+    while b % bm:
+        bm //= 2
+    bn = min(block_nodes, n)
+    while n % bn:
+        bn //= 2
+    _check_shapes(acts_i8, w_i8, colsum128_i32, bias_f32, bm, n)
+    if masks.shape != (b, n):
+        raise ValueError(f"masks must be [{b}, {n}], got {masks.shape}")
+    ni, nj = b // bm, n // bn
+    mblocks = (masks != 0).reshape(ni, bm, nj, bn)
+    act = mblocks.any(axis=(1, 3)).T.astype(jnp.int32)  # [nj, ni]
+
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # act [nj, ni]
+    ]
+    vmem_budget = k * n + 2 * bm * k + 2 * 4 * bm * n + 2 * bm * n + 4 * bm * n + (1 << 22)
+    return pl.pallas_call(
+        _resident_block_sparse_kernel_factory(out_dim, semantics, nj, bn),
+        grid=(ni,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, out_dim), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_budget * 1.25), 100 * 1024 * 1024)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * k,
+            bytes_accessed=b * k + k * n + 4 * b * out_dim,
+            transcendentals=b * n,
+        ),
+        interpret=interpret,
+    )(
+        acts_i8,
+        w_i8,
+        colsum128_i32.reshape(1, n),
+        bias_f32.reshape(1, n),
+        jnp.asarray(inv_scale_f32, jnp.float32).reshape(1, 1),
+        masks,
+        act,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("block_frames", "block_nodes", "interpret"))
 def output_layer_logits(
     acts_i8: jax.Array,

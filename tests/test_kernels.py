@@ -254,3 +254,126 @@ class TestResidentPosteriors:
         np.testing.assert_allclose(
             np.asarray(fast, np.float32), np.asarray(full), rtol=2e-2, atol=1e-3
         )
+
+
+class TestBlockSparseMasked:
+    """Block-sparse lazy kernels: all-inactive (frame x node) tiles are
+    skipped; posteriors must equal the dense masked path to softmax
+    reduction-order roundoff, for both semantics, including fully-masked
+    rows, whole skipped node columns, and MXU padding columns."""
+
+    def _mk(self, rng, b=96, k=128, n=512, out=450, density=0.08):
+        args = rand_layer(rng, b, k, n)
+        # clustered masks: each frame block activates one narrow id band,
+        # so many (frame, node) tiles are genuinely all-zero
+        masks = np.zeros((b, n), np.uint8)
+        for blk in range(b // 32):
+            lo = int(rng.integers(0, out - 40))
+            rows = slice(blk * 32, (blk + 1) * 32)
+            band = (rng.random((32, 40)) < density * 10).astype(np.uint8)
+            masks[rows, lo : lo + 40] = band
+        masks[1] = 0  # fully-masked row
+        masks[:, out:] = 0  # padding columns never active
+        return args, jnp.asarray(masks), out
+
+    def _oracle(self, args, masks, out, semantics):
+        x, w, cs, inv, bias = args
+        logits = xops.output_logits(x, w, cs, inv, bias)[:, :out]
+        mb = np.asarray(masks)[:, :out] != 0
+        if semantics == "reference":
+            return np.asarray(xops.masked_softmax_reference(logits, mb))
+        return np.asarray(xops.masked_softmax_active_only(logits, mb))
+
+    @pytest.mark.parametrize("semantics", ["reference", "active_only"])
+    def test_stats_variant_matches_dense(self, rng, semantics):
+        args, masks, out = self._mk(rng)
+        got = pk.output_layer_posteriors_block_sparse(
+            *args, masks, out_dim=out, semantics=semantics,
+            block_frames=32, block_nodes=128, interpret=True,
+        )
+        want = self._oracle(args, masks, out, semantics)
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+    @pytest.mark.parametrize("semantics", ["reference", "active_only"])
+    def test_resident_variant_matches_dense(self, rng, semantics):
+        args, masks, out = self._mk(rng)
+        got = pk.output_layer_posteriors_resident_block_sparse(
+            *args, masks, out_dim=out, semantics=semantics,
+            block_frames=32, block_nodes=128, interpret=True,
+        )
+        want = self._oracle(args, masks, out, semantics)
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+    def test_all_tiles_active_degenerates_to_dense(self, rng):
+        args = rand_layer(rng, 64, 128, 256)
+        masks = jnp.ones((64, 256), jnp.uint8)
+        got = pk.output_layer_posteriors_block_sparse(
+            *args, masks, out_dim=250, block_frames=32, block_nodes=128,
+            interpret=True,
+        )
+        want = self._oracle(args, masks, 250, "reference")
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+    def test_everything_inactive_reference_is_uniform(self, rng):
+        """All masks zero: reference semantics = softmax over all-zero
+        logits = uniform over real senones (the dense path's behavior)."""
+        args = rand_layer(rng, 32, 128, 256)
+        masks = jnp.zeros((32, 256), jnp.uint8)
+        for fn in (pk.output_layer_posteriors_block_sparse,
+                   pk.output_layer_posteriors_resident_block_sparse):
+            got = np.asarray(fn(
+                *args, masks, out_dim=200, block_frames=32, block_nodes=128,
+                interpret=True,
+            ))
+            np.testing.assert_allclose(got, np.full((32, 200), 1 / 200.0),
+                                       rtol=1e-5)
+
+
+class TestClusterPermutation:
+    def test_permuted_net_posteriors_are_permuted(self, rng):
+        from fastdnn_tpu.engine.cluster import (
+            inverse_permutation,
+            mask_cluster_permutation,
+            permute_output_layer,
+        )
+        from fastdnn_tpu.models.feedforward import random_net
+        from fastdnn_tpu.quant.quantize import pad_qnet_for_tpu, quantize_net
+
+        net = random_net(jax.random.PRNGKey(0), 40, [64], 200)
+        qnet = pad_qnet_for_tpu(quantize_net(net), out_lanes=128)
+        frames = jnp.asarray(rng.standard_normal((16, 40)), jnp.float32)
+        frames = jnp.pad(frames, ((0, 0), (0, qnet.input_dim - 40)))
+
+        masks = (rng.random((50, 200)) < 0.1).astype(np.uint8)
+        perm = mask_cluster_permutation(masks)
+        qp = permute_output_layer(qnet, perm)
+
+        from fastdnn_tpu.engine.scorer import score_fn
+
+        p0 = np.asarray(score_fn(qnet, frames, backend="xla"))
+        p1 = np.asarray(score_fn(qp, frames, backend="xla"))
+        np.testing.assert_allclose(p1, p0[:, perm], atol=1e-6)
+        inv = inverse_permutation(perm)
+        np.testing.assert_allclose(p1[:, inv], p0, atol=1e-6)
+
+    def test_clustering_raises_zero_tile_fraction(self, rng):
+        """On temporally-coherent masks the permutation must strictly
+        increase the all-zero (32 x 128) tile fraction vs raw ids."""
+        from fastdnn_tpu.engine.cluster import mask_cluster_permutation
+
+        frames, out = 256, 1024
+        masks = np.zeros((frames, out), np.uint8)
+        ids = np.arange(out)
+        np.random.default_rng(3).shuffle(ids)  # scattered raw senone ids
+        for t in range(frames):  # a "beam" sweeping through word groups
+            lo = (t * 2) % (out - 64)
+            masks[t, ids[lo : lo + 64]] = 1
+
+        def zero_frac(m):
+            blocks = m.reshape(frames // 32, 32, out // 128, 128)
+            return float((~blocks.any(axis=(1, 3))).mean())
+
+        raw = zero_frac(masks)
+        perm = mask_cluster_permutation(masks)
+        clustered = zero_frac(masks[:, perm])
+        assert clustered > raw + 0.3, (raw, clustered)
