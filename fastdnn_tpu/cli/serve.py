@@ -83,6 +83,8 @@ class _Handler(socketserver.BaseRequestHandler):
                     payload = json.dumps(
                         {
                             "frames": tp.frames,
+                            "batches": tp.batches,
+                            "mean_batch_fill": round(tp.mean_batch_fill(), 1),
                             "frames_per_s": round(tp.frames_per_s(), 1),
                             "audio_seconds_per_s": round(tp.audio_seconds_per_s(), 2),
                             # model dims so clients can size feature vectors

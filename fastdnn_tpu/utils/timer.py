@@ -33,9 +33,15 @@ class Timer:
 
 @dataclass
 class Throughput:
-    """Rolling throughput counter for a scoring service."""
+    """Rolling throughput counter for a scoring service.
+
+    `batches` counts device dispatches, so frames/batches is the mean
+    batch fill — the one number that says whether cross-utterance packing
+    (engine/stream.py) is actually amortizing device calls under load.
+    """
 
     frames: int = 0
+    batches: int = 0
     seconds: float = 0.0
     _t0: float = field(default_factory=time.perf_counter)
 
@@ -43,6 +49,7 @@ class Throughput:
         now = time.perf_counter()
         self.seconds = now - self._t0
         self.frames += n_frames
+        self.batches += 1
 
     def frames_per_s(self) -> float:
         return self.frames / self.seconds if self.seconds > 0 else 0.0
@@ -50,8 +57,14 @@ class Throughput:
     def audio_seconds_per_s(self) -> float:
         return self.frames_per_s() / FRAMES_PER_AUDIO_SECOND
 
+    def mean_batch_fill(self) -> float:
+        """Mean frames per device dispatch (1 utterance = O(100) frames;
+        fill >> one utterance's frames means packing is working)."""
+        return self.frames / self.batches if self.batches else 0.0
+
     def reset(self) -> None:
         self.frames = 0
+        self.batches = 0
         self.seconds = 0.0
         self._t0 = time.perf_counter()
 

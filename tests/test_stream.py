@@ -83,6 +83,35 @@ class TestStreamingScorer:
         np.testing.assert_allclose(f1.result(60), scorer.score(u1), atol=1e-6)
         np.testing.assert_allclose(f2.result(60), scorer.score_masked(u2, masks), atol=1e-6)
 
+    def test_concurrent_load_batches_fill(self, scorer, rng):
+        """Under concurrent load the packer must put more than one
+        utterance per device dispatch (mean batch fill > one utterance's
+        frames, batches < utterances) — the serving economics the whole
+        streaming design exists for.  tools/bench_serve.py measures the
+        same number under real TCP load on the TPU."""
+        utts = rand_utts(rng, 48, scorer.input_dim, lo=8, hi=16)
+        with StreamingScorer(scorer, max_batch_frames=4096, max_wait_ms=80.0) as ss:
+            barrier = threading.Barrier(8)
+            futs: list = [None] * len(utts)
+
+            def worker(t):
+                barrier.wait()  # all submitters hit the queue together
+                for i in range(t, len(utts), 8):
+                    futs[i] = ss.submit(utts[i])
+
+            threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            for u, f in zip(utts, futs):
+                np.testing.assert_allclose(
+                    f.result(timeout=60), scorer.score(u), atol=1e-6
+                )
+            tp = ss.throughput
+        assert tp.batches < len(utts), (tp.batches, len(utts))
+        assert tp.mean_batch_fill() > max(u.shape[0] for u in utts)
+
     def test_oversized_utterance_rejected(self, stream, scorer):
         with pytest.raises(ValueError, match="exceeds"):
             stream.submit(np.zeros((257, scorer.input_dim), np.float32))
