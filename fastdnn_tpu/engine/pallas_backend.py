@@ -139,6 +139,47 @@ def hidden_stack_step(
     )
 
 
+def output_posteriors_block_sparse(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    masks: jax.Array,
+    *,
+    out_dim: int,
+    semantics: str = "reference",
+    interpret: bool = False,
+    resident: bool = True,
+    block_frames: int = 256,
+    block_nodes: int = 512,
+) -> jax.Array:
+    """Masked output + softmax skipping all-inactive (frame x node) tiles.
+
+    resident=True keeps the whole weight matrix in VMEM (sub-block skip,
+    no logits HBM round-trip); False uses the stats-based grid kernel for
+    output layers too large for residency.  Posteriors are f32 (no `fast`
+    variant: the win is skipped work, not bandwidth)."""
+    fn = (
+        pk.output_layer_posteriors_resident_block_sparse
+        if resident
+        else pk.output_layer_posteriors_block_sparse
+    )
+    return fn(
+        acts_i8,
+        w_i8,
+        colsum128_i32,
+        inv_scale_f32,
+        bias_f32,
+        masks,
+        out_dim=out_dim,
+        semantics=semantics,
+        interpret=interpret,
+        block_frames=block_frames,
+        block_nodes=block_nodes,
+    )
+
+
 def output_posteriors_resident(
     acts_i8: jax.Array,
     w_i8: jax.Array,

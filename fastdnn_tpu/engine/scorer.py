@@ -163,7 +163,10 @@ def uses_resident_output(net: QuantizedNet, block_frames_out: int = 256) -> bool
     )
 
 
-def _fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, fast, out_blocks=None):
+def _fused_posteriors(
+    net, acts, masks, *, out_dim, semantics, interpret, fast, out_blocks=None,
+    block_sparse=False,
+):
     """Fused output + softmax, picking the best kernel for the net size.
 
     Primary: the RESIDENT kernel — the whole output weight matrix lives in
@@ -172,10 +175,52 @@ def _fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, fast, 
     weights too big for VMEM: the node-blocked stats kernel + one-read
     normalize, row-chunked past its [B, 128]-scratch cap
     (MAX_FUSED_SOFTMAX_FRAMES; softmax is per-row, so chunking is exact).
+
+    block_sparse (masked calls only): use the tile-skipping lazy kernels —
+    all-inactive (frame x node) tiles skip their matmul + stats work.
+    Same resident/stats split; posteriors stay f32 (no `fast` variant).
     """
     from . import pallas_backend
 
-    if uses_resident_output(net, out_blocks[0] if out_blocks is not None else 256):
+    resident_ok = uses_resident_output(
+        net, out_blocks[0] if out_blocks is not None else 256
+    )
+    if block_sparse and masks is not None:
+        bkw = {}
+        if out_blocks is not None:
+            bkw = dict(block_frames=out_blocks[0], block_nodes=out_blocks[1])
+
+        def one_bs(a, m):
+            return pallas_backend.output_posteriors_block_sparse(
+                a,
+                net.weights[-1],
+                net.colsum128[-1],
+                net.inv_scales[-1],
+                net.biases[-1],
+                m,
+                out_dim=out_dim,
+                semantics=semantics,
+                interpret=interpret,
+                resident=resident_ok,
+                **bkw,
+            )
+
+        b = acts.shape[0]
+        if resident_ok or b <= MAX_FUSED_SOFTMAX_FRAMES:
+            return one_bs(acts, masks)
+        # stats variant: same [B, 128] scratch cap as the dense stats kernel
+        return jnp.concatenate(
+            [
+                one_bs(
+                    acts[lo : lo + MAX_FUSED_SOFTMAX_FRAMES],
+                    masks[lo : lo + MAX_FUSED_SOFTMAX_FRAMES],
+                )
+                for lo in range(0, b, MAX_FUSED_SOFTMAX_FRAMES)
+            ],
+            axis=0,
+        )
+
+    if resident_ok:
         return pallas_backend.output_posteriors_resident(
             acts,
             net.weights[-1],
@@ -281,11 +326,14 @@ def score_masked_fn(
     stack_max_frames: int = 0,
     hidden_blocks=None,
     out_blocks=None,
+    block_sparse: bool = False,
 ):
     """Lazy/masked forward pass -> posteriors f32 [B, out].  Jittable.
 
     masks: [B, out], nonzero = senone active for that frame (the reference's
     byte mask, /root/reference/src/java/suskun/nn/QuantizedDnn.java:88-93).
+    block_sparse selects the tile-skipping lazy kernels (pallas +
+    fused_softmax only; see config.lazy_mode="block_sparse").
     """
     if out_dim is None:
         out_dim = net.output_dim
@@ -308,6 +356,7 @@ def score_masked_fn(
             interpret=interpret,
             fast=fast_posteriors,
             out_blocks=out_blocks,
+            block_sparse=block_sparse,
         )
     logits = output_logits(net, acts, backend, interpret, out_blocks)
     if out_dim != logits.shape[-1]:
@@ -353,10 +402,10 @@ class Scorer:
 
             self._data_size = mesh.shape[DATA_AXIS]
             model_size = mesh.shape[MODEL_AXIS]
-            if self.config.lazy_mode == "gathered":
+            if self.config.lazy_mode in ("gathered", "block_sparse"):
                 raise ValueError(
-                    "lazy_mode='gathered' is single-device only; use 'dense' "
-                    "or 'auto' with a mesh"
+                    f"lazy_mode={self.config.lazy_mode!r} is single-device "
+                    "only; use 'dense' or 'auto' with a mesh"
                 )
         else:
             self._data_size = 1
@@ -440,9 +489,23 @@ class Scorer:
                 )
             except Exception:  # pragma: no cover - layout API drift
                 jit_kw = {}
+        block_sparse = self.config.lazy_mode == "block_sparse"
+        if block_sparse and not (
+            self._backend == "pallas" and self.config.fused_softmax
+        ):
+            raise ValueError(
+                "lazy_mode='block_sparse' needs backend='pallas' (or 'auto' "
+                "on TPU) with fused_softmax=True — the tile-skipping lives "
+                "inside the fused masked kernels"
+            )
         self._score = jax.jit(functools.partial(score_fn, **kw), **jit_kw)
         self._score_masked = jax.jit(
-            functools.partial(score_masked_fn, semantics=self.config.lazy_semantics, **kw),
+            functools.partial(
+                score_masked_fn,
+                semantics=self.config.lazy_semantics,
+                block_sparse=block_sparse,
+                **kw,
+            ),
             **jit_kw,
         )
         self._hidden = jax.jit(

@@ -124,3 +124,51 @@ def test_fully_masked_frame_active_only_yields_zeros(qnet, features_16khz):
         assert np.isfinite(out).all()
         np.testing.assert_array_equal(out[2], 0.0)
         np.testing.assert_allclose(out[[0, 1, 3]].sum(-1), 1.0, rtol=1e-4)
+
+
+class TestBlockSparseEngine:
+    """End-to-end lazy_mode='block_sparse': the Scorer must route masked
+    calls through the tile-skipping kernels and match the dense engine."""
+
+    @pytest.mark.parametrize("semantics", ["reference", "active_only"])
+    def test_matches_dense_engine(self, qnet, rng, semantics):
+        frames = rng.standard_normal((64, 432)).astype(np.float32)
+        # block-structured decoder-like masks plus one dead frame
+        masks = np.zeros((64, qnet.output_dim), np.uint8)
+        for blk in range(2):
+            lo = 100 + 300 * blk
+            masks[blk * 32 : (blk + 1) * 32, lo : lo + 80] = (
+                rng.random((32, 80)) < 0.5
+            )
+        masks[5] = 0
+        dense = Scorer(
+            qnet,
+            EngineConfig(
+                backend="pallas", interpret=True, lazy_mode="dense",
+                lazy_semantics=semantics,
+            ),
+        ).score_masked(frames, masks)
+        sparse = Scorer(
+            qnet,
+            EngineConfig(
+                backend="pallas", interpret=True, lazy_mode="block_sparse",
+                lazy_semantics=semantics,
+            ),
+        ).score_masked(frames, masks)
+        np.testing.assert_allclose(sparse, dense, atol=3e-5)
+
+    def test_requires_pallas_fused(self, qnet):
+        with pytest.raises(ValueError, match="block_sparse"):
+            Scorer(qnet, EngineConfig(backend="xla", lazy_mode="block_sparse"))
+
+    def test_plain_scoring_unaffected(self, qnet, rng):
+        """Unmasked score() ignores lazy_mode (no masks, nothing to skip)."""
+        frames = rng.standard_normal((32, 432)).astype(np.float32)
+        a = Scorer(
+            qnet, EngineConfig(backend="pallas", interpret=True)
+        ).score(frames)
+        b = Scorer(
+            qnet,
+            EngineConfig(backend="pallas", interpret=True, lazy_mode="block_sparse"),
+        ).score(frames)
+        np.testing.assert_allclose(b, a, atol=1e-7)
