@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("model", help="reference-format binary model")
     q.add_argument("out", help="output checkpoint path (.npz)")
     q.add_argument("--cutoff", type=float, default=3.0)
+    q.add_argument("--hidden-bits", type=int, default=8, choices=[8, 4],
+                   help="4 = int4 hidden trunk (output layer stays int8)")
 
     f = sub.add_parser("features", help="Kaldi text features -> binary matrix")
     f.add_argument("input", help="Kaldi text feature file")
@@ -93,11 +95,13 @@ def main(argv=None) -> int:
         from ..quant.serialize import save_qnet
 
         raw = read_model(args.model)
-        qnet = quantize_net(from_raw(raw), cutoff=args.cutoff)
+        qnet = quantize_net(from_raw(raw), cutoff=args.cutoff,
+                            hidden_bits=args.hidden_bits)
         save_qnet(qnet, args.out)
         params = sum(int(np.prod(np.asarray(w).shape)) for w in qnet.weights)
         print(f"Loaded      = {raw.topology()}")
-        print(f"Saved       = int8 checkpoint ({params} quantized weights, "
+        kind = "int4-trunk" if args.hidden_bits == 4 else "int8"
+        print(f"Saved       = {kind} checkpoint ({params} quantized weights, "
               f"cutoff {args.cutoff}) -> {args.out}")
     else:
         feats = load_features_text(args.input)

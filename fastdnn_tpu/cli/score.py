@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
         "out_type", nargs="?", default="TXT", choices=["BIN", "TXT"], help="output format"
     )
     p.add_argument("--cutoff", type=float, default=3.0, help="weight quantization cutoff")
+    p.add_argument(
+        "--hidden-bits", type=int, default=8, choices=[8, 4],
+        help="hidden-trunk weight width: 4 halves weight bytes (output "
+        "layer stays int8); gate accuracy per docs/quantization notes",
+    )
     p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument(
         "--mesh-model",
@@ -101,7 +106,9 @@ def main(argv=None) -> int:
         )
     from ..quant.serialize import load_quantized
 
-    qnet, topology = load_quantized(args.model, cutoff=args.cutoff)
+    qnet, topology = load_quantized(
+        args.model, cutoff=args.cutoff, hidden_bits=args.hidden_bits
+    )
     print(f"Model File  = {args.model}")
     print(f"Network     = {topology}")
     utts = None

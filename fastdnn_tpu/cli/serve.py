@@ -146,6 +146,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8477)
     p.add_argument("--cutoff", type=float, default=3.0)
+    p.add_argument("--hidden-bits", type=int, default=8, choices=[8, 4],
+                   help="4 = int4 hidden trunk (output layer stays int8)")
     p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--max-batch-frames", type=int, default=8192)
     p.add_argument("--max-wait-ms", type=float, default=3.0)
@@ -200,7 +202,10 @@ def build_scorer(args):
             num_processes=args.num_processes,
             process_id=args.process_id,
         )
-    qnet, topology = load_quantized(args.model, cutoff=args.cutoff)
+    qnet, topology = load_quantized(
+        args.model, cutoff=args.cutoff,
+        hidden_bits=getattr(args, "hidden_bits", 8),
+    )
     cfg = EngineConfig(backend=args.backend)
     mesh_model = getattr(args, "mesh_model", 0)
     mesh_data = getattr(args, "mesh_data", None)

@@ -102,11 +102,22 @@ class QuantizedNet:
         return [self.input_w.shape[1]] + [w.shape[1] for w in self.weights]
 
 
-def quantize_layer(w: jax.Array, cutoff: float):
+def quantize_layer(w: jax.Array, cutoff: float, bits: int = 8):
     """Quantize one layer's [in, out] float weights.
 
-    Returns (w_q int8, multiplier f32 scalar).
+    bits=8 is the reference scheme (scale 127, int8); bits=4 is the TPU
+    extension — scale 7, stored as jnp.int4 (the MXU consumes s4 natively;
+    XLA packs two weights per byte, halving HBM/VMEM weight traffic).  The
+    reference has no analog (SSE has no 4-bit lanes).
+
+    Returns (w_q int8|int4, multiplier f32 scalar).
     """
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    scale, lo, hi, dtype = {
+        8: (WEIGHT_SCALE, -128, 127, jnp.int8),
+        4: (7.0, -8, 7, jnp.int4),
+    }[bits]
     clamped = jnp.clip(w, -cutoff, cutoff)
     absmax = jnp.max(jnp.abs(clamped))
     # an all-zero layer is exactly representable: any finite multiplier
@@ -115,9 +126,9 @@ def quantize_layer(w: jax.Array, cutoff: float):
     absmax = jnp.where(absmax == 0, 1.0, absmax)
     # floor at 1: with a huge cutoff and absmax > 254, round(127/absmax)
     # would hit 0 and poison inv_scale (1/(0*255) = inf -> NaN posteriors)
-    multiplier = jnp.maximum(_round_half_away(WEIGHT_SCALE / absmax), 1.0)
-    w_q = jnp.clip(_round_half_away(clamped * multiplier), -128, 127)
-    return w_q.astype(jnp.int8), multiplier.astype(jnp.float32)
+    multiplier = jnp.maximum(_round_half_away(scale / absmax), 1.0)
+    w_q = jnp.clip(_round_half_away(clamped * multiplier), lo, hi)
+    return w_q.astype(dtype), multiplier.astype(jnp.float32)
 
 
 def quantize_net(
@@ -125,11 +136,20 @@ def quantize_net(
     cutoff: float = EngineConfig.cutoff,
     *,
     fuse_input_transform: bool = True,
+    hidden_bits: int = 8,
 ) -> QuantizedNet:
     """FeedForwardNet -> QuantizedNet.
 
     The input layer stays float; shift/scale are fused into it by default
     (set fuse_input_transform=False only if the net was already fused).
+
+    hidden_bits=4 stores the hidden trunk as int4 (half the weight bytes;
+    the dequant algebra is unchanged — colsum128 and inv_scales absorb the
+    narrower scale).  The OUTPUT layer always stays int8: its logits feed
+    a softmax where 4-bit steps would visibly move posteriors, while
+    hidden-layer error is squashed by the 0.01-resolution sigmoid LUT.
+    Gate int4 nets against the float oracle at the reference's 0.1
+    tolerance (tests/test_quant.py::TestInt4Trunk).
     """
     if cutoff <= 0:
         raise ValueError(f"weight cutoff must be positive, got {cutoff}")
@@ -138,8 +158,10 @@ def quantize_net(
     if fuse_input_transform:
         net = fuse_transform(net)
     weights, colsums, biases, inv_scales, multipliers = [], [], [], [], []
-    for w, b in zip(net.weights[1:], net.biases[1:]):
-        w_q, mult = quantize_layer(w, cutoff)
+    n_quant = net.layer_count - 1
+    for i, (w, b) in enumerate(zip(net.weights[1:], net.biases[1:])):
+        bits = hidden_bits if i < n_quant - 1 else 8
+        w_q, mult = quantize_layer(w, cutoff, bits=bits)
         weights.append(w_q)
         colsums.append(128 * jnp.sum(w_q.astype(jnp.int32), axis=0))
         biases.append(b.astype(jnp.float32))

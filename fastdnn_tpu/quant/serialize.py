@@ -35,7 +35,13 @@ def save_qnet(qnet: QuantizedNet, path) -> None:
         "input_b": np.asarray(qnet.input_b),
     }
     for i in range(n):
-        arrays[f"w_{i}"] = np.asarray(qnet.weights[i])
+        w = qnet.weights[i]
+        # npz has no 4-bit container: int4 layers ride as int8 values with a
+        # bits marker and are re-narrowed on load (absent marker = int8,
+        # so version-1 checkpoints stay readable)
+        bits = 4 if w.dtype == jnp.int4 else 8
+        arrays[f"w_{i}"] = np.asarray(w).astype(np.int8)
+        arrays[f"bits_{i}"] = np.int32(bits)
         arrays[f"colsum_{i}"] = np.asarray(qnet.colsum128[i])
         arrays[f"b_{i}"] = np.asarray(qnet.biases[i])
         arrays[f"inv_scale_{i}"] = np.asarray(qnet.inv_scales[i])
@@ -44,14 +50,15 @@ def save_qnet(qnet: QuantizedNet, path) -> None:
         np.savez(f, **arrays)
 
 
-def load_quantized(path, cutoff: float = 3.0):
+def load_quantized(path, cutoff: float = 3.0, hidden_bits: int = 8):
     """Load EITHER model artifact the CLIs accept:
 
       *.npz       — a pre-quantized QuantizedNet checkpoint (save_qnet):
                     loads straight to device, no quantization pass
       anything else — a reference-format binary float model, quantized on
                     load with `cutoff` (what the reference does every load,
-                    /root/reference/src/cpp/jni_dnn.cc:7-18)
+                    /root/reference/src/cpp/jni_dnn.cc:7-18); hidden_bits=4
+                    selects the int4 hidden trunk
 
     Returns (qnet, description string for the CLI topology banner).
     """
@@ -67,14 +74,20 @@ def load_quantized(path, cutoff: float = 3.0):
             )
         qnet = load_qnet(path)
         dims = "-".join(str(d) for d in [qnet.input_dim] + qnet.layer_dims())
-        return qnet, f"{dims} (int8 checkpoint)"
+        kind = (
+            "int4-trunk"
+            if any(w.dtype == jnp.int4 for w in qnet.weights)
+            else "int8"
+        )
+        return qnet, f"{dims} ({kind} checkpoint)"
     from ..formats.binary import read_model
     from ..models.feedforward import from_raw
 
     from .quantize import quantize_net
 
     raw = read_model(path)
-    return quantize_net(from_raw(raw), cutoff=cutoff), raw.topology()
+    qnet = quantize_net(from_raw(raw), cutoff=cutoff, hidden_bits=hidden_bits)
+    return qnet, raw.topology()
 
 
 def load_qnet(path) -> QuantizedNet:
@@ -91,7 +104,15 @@ def load_qnet(path) -> QuantizedNet:
             true_output_dim=true_out,
             input_w=jnp.asarray(z["input_w"]),
             input_b=jnp.asarray(z["input_b"]),
-            weights=tuple(jnp.asarray(z[f"w_{i}"]) for i in range(n)),
+            weights=tuple(
+                jnp.asarray(
+                    z[f"w_{i}"],
+                    jnp.int4
+                    if f"bits_{i}" in z and int(z[f"bits_{i}"]) == 4
+                    else jnp.int8,
+                )
+                for i in range(n)
+            ),
             colsum128=tuple(jnp.asarray(z[f"colsum_{i}"]) for i in range(n)),
             biases=tuple(jnp.asarray(z[f"b_{i}"]) for i in range(n)),
             inv_scales=tuple(jnp.asarray(z[f"inv_scale_{i}"]) for i in range(n)),

@@ -182,3 +182,67 @@ class TestSerialization:
             np.savez(f, **data)
         with pytest.raises(ValueError):
             load_qnet(path)
+
+
+class TestInt4Trunk:
+    """int4 hidden-trunk quantization (TPU extension; no reference analog —
+    the MXU consumes s4 natively, halving weight bytes).  The output layer
+    must stay int8 and accuracy must clear the reference's own float-oracle
+    gate (FuncTest.java:70-72: summed |d| per node <= 0.1 over 100 frames)."""
+
+    def test_dtypes_and_ranges(self, small_net):
+        q = quantize_net(small_net, hidden_bits=4)
+        for w in q.weights[:-1]:
+            assert w.dtype == jnp.int4
+            vals = np.asarray(w).astype(np.int32)
+            assert vals.min() >= -7 and vals.max() <= 7  # symmetric scale 7
+        assert q.weights[-1].dtype == jnp.int8
+        # colsum identity still holds layer-wise on int4 weights
+        w0 = np.asarray(q.weights[0]).astype(np.int32)
+        np.testing.assert_array_equal(
+            np.asarray(q.colsum128[0]), 128 * w0.sum(axis=0)
+        )
+
+    def test_float_oracle_reference_gate(self, small_net, features_16khz):
+        from fastdnn_tpu import models
+        from fastdnn_tpu.config import EngineConfig
+        from fastdnn_tpu.engine.scorer import Scorer
+        from fastdnn_tpu.models import feedforward as ff
+
+        fl = np.asarray(ff.forward(small_net, jnp.asarray(features_16khz)))
+        q4 = quantize_net(small_net, hidden_bits=4)
+        p4 = Scorer(q4, EngineConfig(backend="xla")).score(features_16khz)
+        summed = np.abs(p4 - fl).sum(axis=0)
+        assert summed.max() < 0.1, f"int4 trunk fails the oracle gate: {summed.max()}"
+
+    def test_backends_agree(self, small_net, features_16khz):
+        from fastdnn_tpu.config import EngineConfig
+        from fastdnn_tpu.engine.scorer import Scorer
+
+        q4 = quantize_net(small_net, hidden_bits=4)
+        px = Scorer(q4, EngineConfig(backend="xla")).score(features_16khz[:32])
+        pp = Scorer(q4, EngineConfig(backend="pallas", interpret=True)).score(
+            features_16khz[:32]
+        )
+        np.testing.assert_allclose(pp, px, atol=3e-5)
+
+    def test_checkpoint_round_trip(self, small_net, tmp_path):
+        from fastdnn_tpu.quant.serialize import load_quantized, save_qnet
+
+        q4 = quantize_net(small_net, hidden_bits=4)
+        path = tmp_path / "m4.npz"
+        save_qnet(q4, path)
+        q4b, desc = load_quantized(str(path))
+        assert "int4-trunk" in desc
+        for a, b in zip(q4.weights, q4b.weights):
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(
+                np.asarray(a).astype(np.int8), np.asarray(b).astype(np.int8)
+            )
+
+    def test_padding_preserves_dtype(self, small_net):
+        from fastdnn_tpu.quant.quantize import pad_qnet_for_tpu
+
+        q4 = pad_qnet_for_tpu(quantize_net(small_net, hidden_bits=4))
+        for w in q4.weights[:-1]:
+            assert w.dtype == jnp.int4
