@@ -220,6 +220,32 @@ def check_kernels(detail, batch: int) -> bool:
         )
         ok &= _close(f"posteriors_stats_{vname}", got_st, want_p, atol, detail)
 
+    # block-sparse lazy kernels: tile-skipping must not change posteriors
+    # (clustered masks so skipping actually happens; dead row included)
+    bs_masks = np.zeros((batch, n_pad), np.uint8)
+    for blk in range(batch // 32):
+        lo = int(rng.integers(0, out_dim - 64))
+        bs_masks[blk * 32 : (blk + 1) * 32, lo : lo + 64] = (
+            rng.random((32, 64)) < 0.6
+        )
+    bs_masks[1] = 0
+    bs_masks = jnp.asarray(bs_masks)
+    for sem in ("reference", "active_only"):
+        want_bs = _oracle_posteriors(qnet, want_acts, bs_masks, out_dim, sem)
+        for vname, fn in (
+            ("resident", pk.output_layer_posteriors_resident_block_sparse),
+            ("stats", pk.output_layer_posteriors_block_sparse),
+        ):
+            got_bs = fn(
+                acts, qnet.weights[-1], qnet.colsum128[-1], qnet.inv_scales[-1],
+                qnet.biases[-1], bs_masks, out_dim=out_dim, semantics=sem,
+                interpret=interpret,
+            )
+            ok &= _close(
+                f"block_sparse_{vname}_{sem}", got_bs, want_bs,
+                POSTERIOR_ATOL, detail,
+            )
+
     # tensor-parallel kernel half: flash stats per column shard + the
     # pmax/psum combine algebra (parallel/sharded.py:154-155)
     half = n_pad // 2
@@ -272,6 +298,23 @@ def check_engine(detail, batch: int) -> bool:
     acts_x = np.asarray(sc_x._hidden(sc_x.net, xf))
     ok &= _bitwise("engine_hidden_acts_bitwise", acts_p[: batch],
                    acts_x[: batch], detail)
+
+    # int4 hidden trunk: s8 x s4 MXU path bitwise across engines, float
+    # oracle within the reference's own 0.1 gate (FuncTest.java:70-72)
+    from fastdnn_tpu.models.feedforward import forward
+
+    q4 = quantize_net(net, cutoff=3.0, hidden_bits=4)
+    s4_p = Scorer(q4, EngineConfig(backend="pallas", interpret=interpret))
+    s4_x = Scorer(q4, EngineConfig(backend="xla"))
+    ok &= _close("int4_engine_posteriors", s4_p.score(frames[:128]),
+                 s4_x.score(frames[:128]), POSTERIOR_ATOL, detail)
+    import jax.numpy as jnp
+
+    fl = np.asarray(forward(net, jnp.asarray(frames[:100])))
+    summed = np.abs(s4_x.score(frames[:100]) - fl).sum(axis=0)
+    d = float(summed.max())
+    detail["int4_float_oracle_gate"] = {"ok": d < 0.1, "sum_d_max": d, "gate": 0.1}
+    ok &= d < 0.1
     return ok
 
 
