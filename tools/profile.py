@@ -330,6 +330,110 @@ def cmd_gathered():
         )
 
 
+def cmd_blocksparse(batches=(32, 256, 8192), interpret=False):
+    """Block-sparse vs dense masked output with REAL beam-decoder masks.
+
+    Protocol (VERDICT r2 item 2): run the token-passing BeamDecoder over
+    the flagship net to record a live mask trajectory (density lands in
+    the 0.03-0.10 regime BENCHMARKS.md measured for real beams), then
+    score it tiled to B in {32, 256, 8192} through three engines sharing
+    one quantized net:
+
+      dense  — the dense masked kernel (current default / champion);
+      bs     — lazy_mode='block_sparse' on the raw senone ids;
+      bs+cl  — block_sparse after the senone-clustering permutation
+               (engine.cluster), with the permutation derived from the
+               FIRST half of the trajectory and measured on the SECOND
+               half (honest train/test split — deployment derives the
+               permutation offline from sample traffic).
+
+    Device times via the profiler (exact); skip%% is the fraction of
+    (frame block x node block) tiles whose mask is all-zero — the upper
+    bound on what tile-skipping can save of the output stage.
+    """
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.decoder import BeamDecoder, Lexicon, random_lexicon
+    from fastdnn_tpu.engine.cluster import mask_cluster_permutation, permute_output_layer
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    net = random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
+    qnet = quantize_net(net, cutoff=3.0)
+    cfg_dense = EngineConfig(backend="pallas", interpret=interpret)
+    cfg_bs = EngineConfig(backend="pallas", lazy_mode="block_sparse", interpret=interpret)
+    sc = Scorer(qnet, cfg_dense)
+
+    # Record a live trajectory: lexicon seeded from the net's own argmax
+    # track (so the beam has signal to follow) + distractors, exactly the
+    # examples/beam_decoder.py recipe, at flagship senone count.
+    rng = np.random.default_rng(7)
+    T = 512
+    frames = rng.standard_normal((T, 432)).astype(np.float32)
+    track = sc.score(frames).argmax(1)
+    dedup = track[np.insert(np.diff(track) != 0, 0, True)]
+    true_words = [
+        tuple(int(s) for s in dedup[i : i + 4]) for i in range(0, len(dedup) - 3, 4)
+    ][:40]
+    # Lexicon sized so the live beam's mask density lands in the measured
+    # real-decoder regime (0.03-0.10, BENCHMARKS.md): ~600 words x 4-8
+    # states over 8000 senones, word_exit_beam wide enough to keep word
+    # starts churning.
+    lex = Lexicon(
+        tuple(true_words)
+        + random_lexicon(rng, 560, 8000, min_states=4, max_states=8).words
+    )
+    dec = BeamDecoder(lex, 8000, beam_width=256, word_exit_beam=32)
+    res = dec.decode_dense(sc, frames)
+    half = T // 2
+    perm = mask_cluster_permutation(res.masks[:half])
+    masks_t = res.masks[half:]
+    frames_t = frames[half:]
+    print(f"live beam trajectory: density {res.avg_density:.3f}, "
+          f"churn {res.avg_churn:.4f}, eval frames {masks_t.shape[0]}")
+
+    sc_bs = Scorer(qnet, cfg_bs)
+    sc_cl = Scorer(permute_output_layer(qnet, perm), cfg_bs)
+
+    def skip_frac(masks_p, n_pad):
+        b, n = masks_p.shape
+        bm = min(256, b)
+        while b % bm:
+            bm //= 2
+        bn = min(512, n)
+        while n % bn:
+            bn //= 2
+        blocks = (masks_p != 0).reshape(b // bm, bm, n // bn, bn).any(axis=(1, 3))
+        return 1.0 - float(blocks.mean())
+
+    print(f"{'B':>5} {'skip%':>6} {'skip%cl':>7} {'dense':>9} {'bs':>9} "
+          f"{'bs+cl':>9} {'best vs dense':>13}")
+    rows = []
+    for b in batches:
+        reps = -(-b // masks_t.shape[0])
+        masks = np.tile(masks_t, (reps, 1))[:b]
+        fr = np.tile(frames_t, (reps, 1))[:b]
+        padded, _ = sc._prepare(fr)
+        mp = sc._pad_masks(masks, padded.shape[0])
+        mp_cl = sc._pad_masks(masks[:, perm], padded.shape[0])
+        n_pad = sc.net.weights[-1].shape[1]
+        sf, sf_cl = skip_frac(mp, n_pad), skip_frac(mp_cl, n_pad)
+        mj, mj_cl = jnp.asarray(mp), jnp.asarray(mp_cl)
+        d_ms = _device_total_ms(lambda: sc._score_masked(sc.net, padded, mj))
+        b_ms = _device_total_ms(lambda: sc_bs._score_masked(sc_bs.net, padded, mj))
+        c_ms = _device_total_ms(lambda: sc_cl._score_masked(sc_cl.net, padded, mj_cl))
+        best = max(min(b_ms, c_ms), 1e-9)  # CPU smoke traces report 0
+        rows.append(dict(B=b, skip=round(sf, 3), skip_cl=round(sf_cl, 3),
+                         dense_ms=round(d_ms, 3), bs_ms=round(b_ms, 3),
+                         bs_cluster_ms=round(c_ms, 3),
+                         speedup=round(d_ms / best, 2)))
+        print(f"{b:>5} {sf:>6.1%} {sf_cl:>7.1%} {d_ms:>9.3f} {b_ms:>9.3f} "
+              f"{c_ms:>9.3f} {d_ms/best:>12.2f}x", flush=True)
+    import json as _json
+
+    print(_json.dumps({"blocksparse": rows, "density": round(res.avg_density, 4)}))
+
+
 def cmd_trace():
     _trace_scorer(_flagship_scorer(), "flagship full pass")
 
@@ -368,4 +472,5 @@ if __name__ == "__main__":
         "stages": cmd_stages,
         "dots": cmd_dots,
         "gathered": cmd_gathered,
+        "blocksparse": cmd_blocksparse,
     }[what]()
