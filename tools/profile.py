@@ -434,6 +434,41 @@ def cmd_blocksparse(batches=(32, 256, 8192), interpret=False):
     print(_json.dumps({"blocksparse": rows, "density": round(res.avg_density, 4)}))
 
 
+def cmd_int4(interpret=False):
+    """int8 vs int4-trunk flagship: device time + the reference's own
+    float-oracle accuracy gate (FuncTest.java:70-72, summed |d| per node
+    over 100 frames <= 0.1), same process so relay drift cancels."""
+    import json as _json
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.models import feedforward as ff
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    net = ff.random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
+    cfg = EngineConfig(backend="pallas", interpret=interpret)
+    sc8 = Scorer(quantize_net(net, cutoff=3.0), cfg)
+    sc4 = Scorer(quantize_net(net, cutoff=3.0, hidden_bits=4), cfg)
+
+    f100 = np.random.default_rng(3).standard_normal((100, 432)).astype(np.float32)
+    fl = np.asarray(ff.forward(net, jnp.asarray(f100)))
+    gate = {}
+    for name, sc in (("int8", sc8), ("int4", sc4)):
+        summed = np.abs(sc.score(f100) - fl).sum(axis=0)
+        gate[name] = round(float(summed.max()), 4)
+        print(f"{name}: float-oracle max summed |d| = {gate[name]} "
+              f"(reference gate: < 0.1)", flush=True)
+
+    frames = np.random.default_rng(0).standard_normal((B, 432)).astype(np.float32)
+    padded, _ = sc8._prepare(frames)
+    ms8 = _device_total_ms(lambda: sc8._score(sc8.net, padded))
+    ms4 = _device_total_ms(lambda: sc4._score(sc4.net, padded))
+    print(f"device ms/{B} frames: int8 {ms8:.3f}  int4-trunk {ms4:.3f}  "
+          f"({ms8 / max(ms4, 1e-9):.2f}x)")
+    print(_json.dumps({"int4": {"batch": B, "ms_int8": round(ms8, 3),
+                                "ms_int4": round(ms4, 3), "oracle_gate": gate}}))
+
+
 def cmd_trace():
     _trace_scorer(_flagship_scorer(), "flagship full pass")
 
@@ -473,4 +508,5 @@ if __name__ == "__main__":
         "dots": cmd_dots,
         "gathered": cmd_gathered,
         "blocksparse": cmd_blocksparse,
+        "int4": cmd_int4,
     }[what]()
