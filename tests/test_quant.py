@@ -246,3 +246,46 @@ class TestInt4Trunk:
         q4 = pad_qnet_for_tpu(quantize_net(small_net, hidden_bits=4))
         for w in q4.weights[:-1]:
             assert w.dtype == jnp.int4
+
+    def test_composes_with_block_sparse_lazy(self, small_net):
+        """int4 trunk changes the hidden layers only; the block-sparse lazy
+        OUTPUT path must run unchanged on top of it and match the dense
+        masked engine on the same int4 net."""
+        from fastdnn_tpu.config import EngineConfig
+        from fastdnn_tpu.engine.scorer import Scorer
+
+        q4 = quantize_net(small_net, hidden_bits=4)
+        rng = np.random.default_rng(11)
+        frames = rng.standard_normal((64, q4.input_dim)).astype(np.float32)
+        masks = np.zeros((64, q4.output_dim), np.uint8)
+        masks[:32, 40:160] = rng.random((32, 120)) < 0.5
+        masks[32:, 280:360] = rng.random((32, 80)) < 0.5
+        masks[7] = 0  # dead frame exercises the zero-row guard
+        dense = Scorer(
+            q4, EngineConfig(backend="pallas", interpret=True, lazy_mode="dense")
+        ).score_masked(frames, masks)
+        sparse = Scorer(
+            q4,
+            EngineConfig(backend="pallas", interpret=True, lazy_mode="block_sparse"),
+        ).score_masked(frames, masks)
+        np.testing.assert_allclose(sparse, dense, atol=3e-5)
+
+    def test_composes_with_mesh(self, small_net):
+        """int4 weights shard over a ("data","model") mesh like int8 ones:
+        the mesh Scorer must equal the single-device XLA engine bit-for-bit
+        in posterior space (same tolerance the int8 mesh tests use)."""
+        from fastdnn_tpu.config import EngineConfig
+        from fastdnn_tpu.engine.scorer import Scorer
+        from fastdnn_tpu.parallel import mesh as pmesh
+
+        q4 = quantize_net(small_net, hidden_bits=4)
+        rng = np.random.default_rng(12)
+        frames = rng.standard_normal((48, q4.input_dim)).astype(np.float32)
+        ref = Scorer(q4, EngineConfig(backend="xla")).score(frames)
+        for data, model in ((4, 2), (2, 4)):
+            got = Scorer(
+                q4,
+                EngineConfig(backend="xla"),
+                mesh=pmesh.make_mesh(data=data, model=model),
+            ).score(frames)
+            np.testing.assert_allclose(got, ref, atol=3e-5, err_msg=f"mesh d{data}xm{model}")
