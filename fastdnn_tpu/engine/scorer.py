@@ -140,7 +140,9 @@ def output_logits(
     )
 
 
-def uses_resident_output(net: QuantizedNet, block_frames_out: int = 256) -> bool:
+def uses_resident_output(
+    net: QuantizedNet, block_frames_out: int = 256, *, block_sparse: bool = False
+) -> bool:
     """True when _fused_posteriors selects the one-kernel RESIDENT softmax,
     i.e. posteriors come out of a single opaque pallas_call whose execution
     XLA can neither dead-code nor narrow.  bench.py keys its feedback-chain
@@ -151,12 +153,17 @@ def uses_resident_output(net: QuantizedNet, block_frames_out: int = 256) -> bool
     Mirrors the kernel's own VMEM budget (weights + double-buffered
     activation/posterior/mask blocks + slack, x1.25): if it would not fit
     under the 100 MB clamp the kernel requests, the stats fallback runs
-    instead of tripping a Mosaic scoped-vmem compile error.
+    instead of tripping a Mosaic scoped-vmem compile error.  The resident
+    BLOCK-SPARSE kernel additionally keeps a [bm, n] f32 logits scratch
+    (pallas_kernels.output_layer_posteriors_resident_block_sparse), so its
+    gate must charge those 4*bm*n bytes too.
     """
     k, n = net.weights[-1].shape
     working_set = (
         k * n + 2 * block_frames_out * k + 10 * block_frames_out * n + (1 << 22)
     )
+    if block_sparse:
+        working_set += 4 * block_frames_out * n
     return (
         k * n <= RESIDENT_OUTPUT_MAX_BYTES
         and working_set * 1.25 <= 100 * 1024 * 1024
@@ -183,7 +190,9 @@ def _fused_posteriors(
     from . import pallas_backend
 
     resident_ok = uses_resident_output(
-        net, out_blocks[0] if out_blocks is not None else 256
+        net,
+        out_blocks[0] if out_blocks is not None else 256,
+        block_sparse=block_sparse and masks is not None,
     )
     if block_sparse and masks is not None:
         bkw = {}

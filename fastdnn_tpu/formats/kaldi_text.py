@@ -28,36 +28,52 @@ from .binary import RawLayer, RawNetwork
 
 _BRACKET_BLOCK = re.compile(r"\[(.+?)\]", re.DOTALL)
 
-# C strtof token syntax (decimal / hex / inf / nan), longest-prefix greedy —
-# the native parser tokenizes rows with strtof (fastdnn_io.cc:293-298), so
-# the Python fallback must split identically ("1.5-2" is TWO values to
-# strtof, not a bad token; "0x10" is 16.0).
+# The native parser tokenizes rows with C strtof (fastdnn_io.cc:293-298).
+# For exact agreement — token syntax, the leading-isspace skip (which
+# includes \v/\f and can even cross a \n they precede), nan(char-seq)
+# payloads, and correctly-rounded decimal->f32 — the primary token reader
+# IS libc strtof, bound via ctypes.  The regex below is the fallback for
+# platforms without a dlopen-able libc; it accepts the same token grammar
+# but parses via Python float (double), which can differ from strtof's
+# direct single rounding by 1 ulp on adversarial decimals.
+try:
+    import ctypes
+
+    _LIBC = ctypes.CDLL(None, use_errno=True)
+    _C_STRTOF = _LIBC.strtof
+    _C_STRTOF.restype = ctypes.c_float
+    _C_STRTOF.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p)]
+except Exception:  # pragma: no cover - non-POSIX fallback
+    _C_STRTOF = None
+
 _CFLOAT = re.compile(
     r"""[+-]?(?:
         0[xX](?:[0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?|\.[0-9a-fA-F]+)(?:[pP][+-]?[0-9]+)?
       | (?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?
       | [iI][nN][fF](?:[iI][nN][iI][tT][yY])?
-      | [nN][aA][nN]
+      | [nN][aA][nN](?:\([0-9a-zA-Z_]*\))?
     )""",
     re.VERBOSE,
 )
+_STRTOF_WS = " \t\n\v\f\r"  # C isspace set strtof skips before a token
 
 
-def _parse_row_strtof(line: str) -> np.ndarray:
-    """One feature row tokenized exactly like the native strtof loop."""
-    vals: List[float] = []
-    pos, n = 0, len(line)
-    while pos < n:
-        if line[pos] in " \t\r":
-            pos += 1
-            continue
-        m = _CFLOAT.match(line, pos)
-        if m is None:
-            raise ValueError(f"bad float at column {pos}: {line[pos:pos+12]!r}")
-        tok = m.group(0)
-        vals.append(float.fromhex(tok) if "x" in tok or "X" in tok else float(tok))
-        pos = m.end()
-    return np.array(vals, dtype=np.float32)
+def _strtof_py(s: str, pos: int):
+    """Pure-Python strtof: (value, end_pos); end_pos == pos -> no conversion."""
+    p, n = pos, len(s)
+    while p < n and s[p] in _STRTOF_WS:
+        p += 1
+    m = _CFLOAT.match(s, p)
+    if m is None:
+        return 0.0, pos
+    tok = m.group(0)
+    if "x" in tok or "X" in tok:
+        v = float.fromhex(tok)
+    elif "(" in tok:  # nan(char-seq)
+        v = float("nan")
+    else:
+        v = float(tok)
+    return v, m.end()
 
 
 def _floats(text: str) -> np.ndarray:
@@ -157,12 +173,18 @@ def parse_features_text(text: str) -> Dict[str, np.ndarray]:
     mispair ids and blocks on malformed input — a laxness this parser
     deliberately does not reproduce.)
 
-    Native-parity semantics:
+    Native-parity semantics (the row scan below is a statement-for-statement
+    mirror of the native loop, fastdnn_io.cc:272-304, with tokens read by
+    the SAME libc strtof via ctypes when available):
       * the utterance id is the FIRST whitespace token before each `[`;
         any extra tokens between id and `[` are ignored;
-      * rows are tokenized with C strtof rules (_parse_row_strtof) and end
-        at newlines; '\r' is row-internal whitespace;
-      * end-of-file closes an open block like `]` does;
+      * ' ', '\t', '\r' are row-internal whitespace; '\n' commits a row;
+        strtof itself additionally skips any C isspace (including \v/\f —
+        and even a \n THEY precede, splicing two physical lines into one
+        row) before a token, and accepts inf/nan(char-seq)/hex tokens;
+      * `]` or end-of-file closes the block, committing a row in progress —
+        EXCEPT hard EOF immediately after a token, which leaves the row
+        uncommitted and the file rejected (the native while-condition exit);
       * ragged rows, non-numeric garbage, or an empty block raise
         ValueError (the native parser rejects the file);
       * trailing text after the last block (an id without a block) is
@@ -170,6 +192,26 @@ def parse_features_text(text: str) -> Dict[str, np.ndarray]:
       * a file with no complete utterance raises ValueError.
     """
     result: Dict[str, np.ndarray] = {}
+    n = len(text)
+    token_at = None
+    if _C_STRTOF is not None:
+        try:
+            data = text.encode("ascii")
+        except UnicodeEncodeError:
+            data = None  # non-ASCII bytes: offsets would diverge; use Python
+        if data is not None:
+            buf = ctypes.create_string_buffer(data)  # NUL-terminated, like
+            base = ctypes.addressof(buf)  # the native fread buffer (:47)
+
+            def token_at(p):
+                endp = ctypes.c_void_p()
+                v = _C_STRTOF(base + p, ctypes.byref(endp))
+                return v, (endp.value or base) - base
+
+    if token_at is None:
+        def token_at(p):
+            return _strtof_py(text, p)
+
     pos = 0
     while True:
         lb = text.find("[", pos)
@@ -177,51 +219,67 @@ def parse_features_text(text: str) -> Dict[str, np.ndarray]:
             break  # trailing id-without-block is dropped, like native
         head = text[pos:lb].split()
         utt_id = head[0] if head else ""
-        rb = text.find("]", lb + 1)
-        nxt = text.find("[", lb + 1)
-        if nxt != -1 and (rb == -1 or nxt < rb):
-            # a second '[' inside the block: the strtof loop hits it and
-            # rejects (fastdnn_io.cc:295-296)
-            raise ValueError(
-                f"'[' inside feature block for utterance {utt_id!r}"
-            )
-        inner = text[lb + 1 : rb] if rb != -1 else text[lb + 1 :]
-        if rb == -1:
-            # EOF inside a block: the native loop exits WITHOUT committing a
-            # row in progress, so trailing tokens after the last newline
-            # make the frame count inconsistent and the file is rejected
-            # (fastdnn_io.cc:300-304; test_text_parser_truncated_mid_number).
-            # A newline-terminated final row is committed and accepted.
-            tail = inner[inner.rfind("\n") + 1 :]
-            if tail.strip(" \t\r"):
-                raise ValueError(
-                    f"file truncated mid-row in utterance {utt_id!r}"
-                )
-        rows = []
-        dim = -1
-        for ln, line in enumerate(inner.split("\n")):
-            if not line.strip():
+
+        vals: List[float] = []
+        dim = 0
+        frames = 0
+        row_len = 0
+        p = lb + 1
+        while True:
+            if p >= n:
+                # hard EOF right after a token: the native while-condition
+                # (:273) exits WITHOUT committing the row in progress; the
+                # size check below then rejects the file
+                break
+            while p < n and text[p] in " \t\r":
+                p += 1
+            if p < n and text[p] == "\n":
+                if row_len:
+                    if dim == 0:
+                        dim = row_len
+                    elif row_len != dim:
+                        raise ValueError(
+                            f"ragged rows in utterance {utt_id!r}: row "
+                            f"{frames} has {row_len} values, expected {dim}"
+                        )
+                    frames += 1
+                    row_len = 0
+                p += 1
                 continue
-            try:
-                vals = _parse_row_strtof(line)
-            except ValueError as e:
+            if p >= n or text[p] == "]":
+                # ']' (or EOF reached through whitespace) commits a row in
+                # progress, exactly like the native :284-291 branch
+                if row_len:
+                    if dim == 0:
+                        dim = row_len
+                    elif row_len != dim:
+                        raise ValueError(
+                            f"ragged rows in utterance {utt_id!r}: row "
+                            f"{frames} has {row_len} values, expected {dim}"
+                        )
+                    frames += 1
+                    row_len = 0
+                if p < n:
+                    p += 1  # past ']'
+                break
+            v, q = token_at(p)
+            if q == p:
+                # no conversion: garbage, a second '[', or whitespace
+                # running into ']'/NUL — the native :295-296 rejection
                 raise ValueError(
-                    f"utterance {utt_id!r}, row {ln}: {e}"
-                ) from None
-            if dim == -1:
-                dim = vals.shape[0]
-            elif vals.shape[0] != dim:
-                raise ValueError(
-                    f"ragged rows in utterance {utt_id!r}: row {ln} has "
-                    f"{vals.shape[0]} values, expected {dim}"
+                    f"utterance {utt_id!r}: bad float at offset {p}: "
+                    f"{text[p:p + 12]!r}"
                 )
-            rows.append(vals)
-        if not rows:
+            vals.append(v)
+            row_len += 1
+            p = q
+
+        if dim == 0 or frames == 0:
             raise ValueError(f"empty feature block for utterance {utt_id!r}")
-        result[utt_id] = np.stack(rows)
-        if rb == -1:
-            break  # EOF closed the block (native treats EOF like ']')
-        pos = rb + 1
+        if len(vals) != frames * dim:
+            raise ValueError(f"file truncated mid-row in utterance {utt_id!r}")
+        result[utt_id] = np.array(vals, dtype=np.float32).reshape(frames, dim)
+        pos = p
     if not result:
         raise ValueError("no complete utterance blocks found")
     return result
@@ -234,15 +292,16 @@ def load_features_text(path) -> Dict[str, np.ndarray]:
         if native.available():
             return native.read_features_text(path)
     except ValueError as e:
-        # the native parser rejected a file the lax Python regex may still
-        # read — log it so a parser-behavior divergence is visible, not
-        # silently papered over (the two parsers are agreement-gated on
-        # well-formed files in tests/test_native.py)
+        # the Python parser mirrors the native one statement-for-statement,
+        # so the retry should reject the same files with a clearer message;
+        # log the native error so any residual divergence (the two parsers
+        # are agreement-gated in tests/test_native.py) is visible, not
+        # silently papered over
         import logging
 
         logging.getLogger(__name__).warning(
             "native text-feature parser rejected %s (%s); retrying with the "
-            "tolerant Python parser",
+            "mirroring Python parser",
             path,
             e,
         )

@@ -30,8 +30,12 @@ runtime cannot cancel a hung all-reduce).  `call_timeout_s` arms a watchdog
 around every coordinated call: on expiry the scorer marks itself closed and
 raises RuntimeError — callers get a clean, loud failure instead of a silent
 hang, and supervisors must restart all processes (the collectives cannot be
-resynchronized).  Workers log loudly and re-raise on their side
-(worker_loop).
+resynchronized).  The FIRST coordinated call gets the larger
+`first_call_timeout_s` allowance (it includes jit compilation), and on
+expiry a best-effort OP_STOP is queued behind the abandoned call's
+collectives so a merely-slow pod's workers exit their loops instead of
+hanging at the next header broadcast.  Workers log loudly and re-raise on
+their side (worker_loop).
 
 With a single process (jax.process_count() == 1) the wrapper is inert and
 MultiHostScorer behaves exactly like Scorer(mesh=...) — so CLIs can always
@@ -91,24 +95,38 @@ def _to_global(mesh, spec, arr: np.ndarray):
     return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
 
+def _row_ranges(sharding, shape) -> dict:
+    """Per-process contiguous data-axis row windows {process: [lo, hi)}
+    under `sharding` for a global `shape` array, from ONE
+    devices_indices_map pass.
+
+    Mesh device order is process-major (parallel.mesh.make_mesh uses
+    jax.devices(), which lists each process's devices consecutively), so a
+    process's data rows form one contiguous window; a model axis spanning
+    processes degenerates to the full range (every process then genuinely
+    needs all rows).  Single source of truth for the scatter protocol —
+    the coordinator's ship side and the workers' receive side both derive
+    their windows from this function.
+    """
+    ranges: dict = {}
+    for dev, idx in sharding.devices_indices_map(tuple(shape)).items():
+        rows = idx[0]
+        lo = 0 if rows.start is None else rows.start
+        hi = shape[0] if rows.stop is None else rows.stop
+        old = ranges.get(dev.process_index)
+        ranges[dev.process_index] = (
+            (lo, hi) if old is None else (min(old[0], lo), max(old[1], hi))
+        )
+    return ranges
+
+
 def _process_row_range(mesh, spec, shape) -> tuple[int, int]:
     """This process's contiguous data-axis row range [start, stop) under
     NamedSharding(mesh, spec) for a global `shape` array."""
     from jax.sharding import NamedSharding
 
     sharding = NamedSharding(mesh, spec)
-    me = jax.process_index()
-    starts, stops = [], []
-    for dev, idx in sharding.devices_indices_map(tuple(shape)).items():
-        if dev.process_index != me:
-            continue
-        rows = idx[0]
-        starts.append(0 if rows.start is None else rows.start)
-        stops.append(shape[0] if rows.stop is None else rows.stop)
-    if not starts:
-        return 0, 0
-    lo, hi = min(starts), max(stops)
-    return lo, hi
+    return _row_ranges(sharding, shape).get(jax.process_index(), (0, 0))
 
 
 class MultiHostScorer(Scorer):
@@ -123,6 +141,12 @@ class MultiHostScorer(Scorer):
     call_timeout_s: watchdog for coordinated calls — expiry means a worker
         is unreachable; the scorer closes itself and raises.  None = wait
         forever (the r1 behavior).
+    first_call_timeout_s: watchdog allowance for the FIRST coordinated
+        call only, which includes jit compilation (20-40 s per shape even
+        single-chip; minutes on large pods) — a production call_timeout_s
+        tuned to steady-state latency would otherwise declare a healthy
+        pod dead while it compiles.  Defaults to
+        max(call_timeout_s, 300); ignored when call_timeout_s is None.
     """
 
     def __init__(
@@ -134,6 +158,7 @@ class MultiHostScorer(Scorer):
         heartbeat_s: float = 5.0,
         scatter: bool = True,
         call_timeout_s: Optional[float] = None,
+        first_call_timeout_s: Optional[float] = None,
     ):
         if mesh is None:
             raise ValueError("MultiHostScorer requires a mesh")
@@ -143,6 +168,10 @@ class MultiHostScorer(Scorer):
         self._closed = False
         self._hb_thread: Optional[threading.Thread] = None
         self._call_timeout_s = call_timeout_s
+        if first_call_timeout_s is None and call_timeout_s is not None:
+            first_call_timeout_s = max(call_timeout_s, 300.0)
+        self._first_call_timeout_s = first_call_timeout_s
+        self._warm = False  # set after the first coordinated call completes
         if not self._multi:
             return
         self._scatter = scatter and _kv_client() is not None
@@ -193,16 +222,15 @@ class MultiHostScorer(Scorer):
         from jax.sharding import NamedSharding
 
         sharding = NamedSharding(self.mesh, spec)
-        workers = sorted(
-            {d.process_index for d in sharding.devices_indices_map(tuple(arr.shape))}
-            - {0}
-        )
-        for p in workers:
-            lo, hi = _row_range_for_process(sharding, arr.shape, p)
+        ranges = _row_ranges(sharding, arr.shape)
+        for p in sorted(ranges):
+            if p == 0:
+                continue
+            lo, hi = ranges[p]
             client.key_value_set_bytes(
                 f"{_KV_PREFIX}/{seq}/{tag}/{p}", arr[lo:hi].tobytes()
             )
-        lo, hi = _process_row_range(self.mesh, spec, arr.shape)
+        lo, hi = ranges.get(0, (0, 0))
         return _assemble(sharding, np.ascontiguousarray(arr[lo:hi]), lo, arr.shape)
 
     def _recv_global(self, seq: int, tag: str, spec, shape, dtype):
@@ -228,14 +256,22 @@ class MultiHostScorer(Scorer):
     # -- coordinator side ----------------------------------------------------
 
     def _with_watchdog(self, fn):
-        """Run fn(); if call_timeout_s elapses first, declare the pod dead.
+        """Run fn(); if the call timeout elapses first, declare the pod dead.
 
-        The hung collective cannot be cancelled — the runner thread is
-        abandoned (daemon) and the scorer closes so subsequent calls fail
-        fast instead of stacking up behind a dead pod.
+        The first coordinated call gets first_call_timeout_s (it includes
+        jit compilation); later calls get call_timeout_s.  The hung
+        collective cannot be cancelled — the runner thread is abandoned
+        (daemon) and the scorer closes so subsequent calls fail fast
+        instead of stacking up behind a dead pod.  On expiry a best-effort
+        OP_STOP is fired from another daemon thread: if the pod was merely
+        slow (workers alive, call eventually drains), that stop op is the
+        next header they pair with and they exit their loops instead of
+        hanging forever; if a worker is truly dead the stop broadcast
+        hangs too, but only inside an abandoned thread.
         """
         if self._call_timeout_s is None:
             return fn()
+        timeout = self._call_timeout_s if self._warm else self._first_call_timeout_s
         result: list = [None]
         error: list = [None]
 
@@ -247,17 +283,27 @@ class MultiHostScorer(Scorer):
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
-        t.join(self._call_timeout_s)
+        t.join(timeout)
         if t.is_alive():
             self._closed = True
+
+            def _stop_when_drained():
+                # _bcast_lock orders this after the abandoned call's
+                # collectives; it blocks forever if the pod is truly dead,
+                # but only inside this abandoned daemon thread
+                with self._bcast_lock:
+                    _broadcast(np.array([OP_STOP, 0, 0, 0, 0], np.int32))
+
+            threading.Thread(target=_stop_when_drained, daemon=True).start()
             raise RuntimeError(
                 f"multi-host scoring call did not complete within "
-                f"{self._call_timeout_s}s — a worker process is likely dead "
+                f"{timeout}s — a worker process is likely dead "
                 "and the pod's collectives cannot make progress; restart "
                 "all processes"
             )
         if error[0] is not None:
             raise error[0]
+        self._warm = True
         return result[0]
 
     def _coordinated_score(self, net, padded, _masks=None):
@@ -374,25 +420,6 @@ class MultiHostScorer(Scorer):
                 "score_masked (batched lazy semantics) or a single-process mesh"
             )
         return super().new_lazy_context(input_vector_count)
-
-
-def _row_range_for_process(sharding, shape, process_index: int) -> tuple[int, int]:
-    """Contiguous data-axis row range owned by `process_index`.
-
-    Mesh device order is process-major (parallel.mesh.make_mesh uses
-    jax.devices(), which lists each process's devices consecutively), so a
-    process's data rows form one contiguous [min, max) window; a model axis
-    spanning processes degenerates to the full range (every process then
-    genuinely needs all rows).
-    """
-    starts, stops = [], []
-    for dev, idx in sharding.devices_indices_map(tuple(shape)).items():
-        if dev.process_index != process_index:
-            continue
-        rows = idx[0]
-        starts.append(0 if rows.start is None else rows.start)
-        stops.append(shape[0] if rows.stop is None else rows.stop)
-    return (min(starts), max(stops)) if starts else (0, 0)
 
 
 def _assemble(sharding, local_rows: np.ndarray, lo: int, shape):

@@ -129,6 +129,44 @@ class TestNativeTextFeatures:
         with pytest.raises(ValueError):
             native.read_features_text(p)
 
+    def test_strtof_quirk_agreement(self, native, tmp_path):
+        """Curated quirky/malformed inputs: the Python mirror and the native
+        strtof loop must parse IDENTICALLY or both reject.  Covers the
+        strtof corners the well-formed agreement test never hits: \\v/\\f
+        whitespace (strtof's own isspace skip — which even splices rows
+        when \\f precedes the newline), nan(char-seq), hex and glued
+        tokens, ']'-committed and trailing-whitespace-committed final rows,
+        and the hard-EOF-after-token rejection."""
+        from fastdnn_tpu.formats import kaldi_text
+
+        cases = [
+            "u [\n1 2\f\n3 4\n]",     # \f swallows the newline: ONE 4-wide row
+            "u [\n1 2\v3\n]",         # \v is token whitespace
+            "u [\n1 nan(1) inf -Infinity\n]",
+            "u [\n0x10 1.5-2\n]",     # hex + glued tokens -> 16, 1.5, -2
+            "u [ 1 2 ]",              # ']' commits the row, no newline needed
+            "u [1 2 ",                # EOF through whitespace commits too
+            "u [1 2",                 # hard EOF after a token: rejected
+            "u [\n1 2\n3\n]",         # ragged: rejected
+            "u [\n]",                 # empty block: rejected
+            "u [x y]",                # garbage token: rejected
+            "u [1 [ 2]",              # '[' inside a block: rejected
+            "a [1 2\n] b [3 4\n]",    # positional id/block pairing
+        ]
+        p = tmp_path / "quirk.txt"
+        for text in cases:
+            p.write_text(text)
+            try:
+                want = native.read_features_text(str(p))
+            except ValueError:
+                with pytest.raises(ValueError):
+                    kaldi_text.parse_features_text(text)
+                continue
+            got = kaldi_text.parse_features_text(text)
+            assert list(got) == list(want), text
+            for k in want:
+                np.testing.assert_array_equal(got[k], want[k], err_msg=text)
+
     def test_dispatch_through_kaldi_text_module(self, native):
         from fastdnn_tpu.formats.kaldi_text import load_features_text
 
