@@ -160,11 +160,12 @@ class EngineConfig:
     #: device-ms/call at B in {1,8,32}, densities 0.05/0.40; table in
     #: BENCHMARKS.md).  "gathered" remains for output layers so large the
     #: full read itself is the bottleneck (far beyond 8k senones).
-    #: "block_sparse" (pallas + fused_softmax, single-device) skips
-    #: all-inactive (frame x node) MXU tiles inside the masked kernel —
-    #: wins only when masks concentrate into blocks; pair with
-    #: engine.cluster's senone-clustering permutation for real decoder
-    #: masks (measured table in BENCHMARKS.md).
+    #: "block_sparse" (pallas + fused_softmax; single-device AND meshes —
+    #: on model-sharded meshes each shard's per-shard stats kernel skips
+    #: its own tiles) skips all-inactive (frame x node) MXU tiles inside
+    #: the masked kernel — wins only when masks concentrate into blocks;
+    #: pair with engine.cluster's senone-clustering permutation for real
+    #: decoder masks (measured table in BENCHMARKS.md).
     lazy_mode: Literal["auto", "dense", "gathered", "block_sparse"] = "auto"
     #: capacity (fraction of output nodes) for the gathered lazy matmul;
     #: unions above it raise (explicit "gathered" mode only).

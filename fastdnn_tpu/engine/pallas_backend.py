@@ -119,6 +119,39 @@ def output_flash_stats(
     )
 
 
+def output_flash_stats_block_sparse(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    masks: jax.Array,
+    *,
+    valid_count,
+    semantics: str = "reference",
+    interpret: bool = False,
+    block_frames: int = 256,
+    block_nodes: int = 512,
+):
+    """output_flash_stats with all-inactive (frame x node) tiles SKIPPED —
+    the kernel half of the tensor-parallel fused softmax for the
+    block-sparse lazy path (valid_count is the dynamic per-shard
+    real-senone cutoff)."""
+    return pk.output_flash_stats_block_sparse(
+        acts_i8,
+        w_i8,
+        colsum128_i32,
+        inv_scale_f32,
+        bias_f32,
+        masks,
+        valid_count=valid_count,
+        semantics=semantics,
+        interpret=interpret,
+        block_frames=block_frames,
+        block_nodes=block_nodes,
+    )
+
+
 def hidden_stack_step(
     acts_i8: jax.Array,
     hstack,

@@ -411,10 +411,19 @@ class Scorer:
 
             self._data_size = mesh.shape[DATA_AXIS]
             model_size = mesh.shape[MODEL_AXIS]
-            if self.config.lazy_mode in ("gathered", "block_sparse"):
+            if self.config.lazy_mode == "gathered":
                 raise ValueError(
-                    f"lazy_mode={self.config.lazy_mode!r} is single-device "
-                    "only; use 'dense' or 'auto' with a mesh"
+                    "lazy_mode='gathered' is single-device only; use "
+                    "'dense', 'block_sparse', or 'auto' with a mesh"
+                )
+            if self.config.lazy_mode == "block_sparse" and not (
+                self.config.resolve_backend(_default_platform()) == "pallas"
+                and self.config.fused_softmax
+            ):
+                raise ValueError(
+                    "lazy_mode='block_sparse' needs backend='pallas' (or "
+                    "'auto' on TPU) with fused_softmax=True — the "
+                    "tile-skipping lives inside the fused masked kernels"
                 )
         else:
             self._data_size = 1
@@ -479,6 +488,7 @@ class Scorer:
                 hidden_blocks=kw["hidden_blocks"],
                 out_blocks=kw["out_blocks"],
                 true_output_dim=net.true_output_dim,
+                block_sparse=self.config.lazy_mode == "block_sparse",
             )
             self._gathered = None
             self._gather_capacity = 0

@@ -664,7 +664,9 @@ def output_layer_flash_stats(
     return z, m[:, :1], s[:, :1]
 
 
-def _block_sparse_kernel_factory(bm: int, bn: int, semantics: str):
+def _block_sparse_kernel_factory(
+    bm: int, bn: int, semantics: str, capped_fill: bool = False
+):
     """Masked output kernel that SKIPS node blocks whose mask block is
     all-zero — the TPU translation of the reference's lazy dot-product
     skipping (dnn.cc:355-392), at MXU-block granularity instead of per
@@ -739,9 +741,20 @@ def _block_sparse_kernel_factory(bm: int, bn: int, semantics: str):
         def _():
             # reference: skipped senones keep logit 0 (their stats ride the
             # nskip init); active_only: capped out of the softmax entirely.
-            # Padding columns are never read (the epilogue slices :out_dim).
             fill = 0.0 if semantics == "reference" else NEG_CAP
-            z_ref[:] = jnp.full((bm, bn), fill, jnp.float32)
+            if capped_fill:
+                # stats consumers keep the full width (no :out_dim slice),
+                # so padding/beyond-valid columns must carry the cap here
+                # too or reference-semantics fills would leak exp(0) into
+                # padding columns of the assembled output
+                col = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+                z_ref[:] = jnp.where(
+                    col < valid_ref[0, 0], jnp.float32(fill), NEG_CAP
+                )
+            else:
+                # single-device posteriors path: padding columns are never
+                # read (the epilogue slices :out_dim), constant fill is fine
+                z_ref[:] = jnp.full((bm, bn), fill, jnp.float32)
 
         @pl.when(j == nj - 1)
         def _():
@@ -778,6 +791,69 @@ def output_layer_posteriors_block_sparse(
     senone-clustering permutation (engine.cluster).  See BENCHMARKS.md
     "block-sparse lazy" for the measured verdict.
     """
+    z, m, s = _block_sparse_stats_call(
+        acts_i8, w_i8, colsum128_i32, inv_scale_f32, bias_f32, masks,
+        valid_count=out_dim, semantics=semantics, block_frames=block_frames,
+        block_nodes=block_nodes, interpret=interpret, capped_fill=False,
+    )
+    p = jnp.exp(z[:, :out_dim] - m[:, :1]) / jnp.maximum(
+        s[:, :1], jnp.finfo(jnp.float32).tiny
+    )
+    # fully-masked active_only rows (running max still at the cap) -> zeros
+    return jnp.where(m[:, :1] > -1e29, p, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("semantics", "block_frames", "block_nodes", "interpret"),
+)
+def output_flash_stats_block_sparse(
+    acts_i8: jax.Array,
+    w_i8: jax.Array,
+    colsum128_i32: jax.Array,
+    inv_scale_f32: jax.Array,
+    bias_f32: jax.Array,
+    masks: jax.Array,
+    *,
+    valid_count,
+    semantics: str = "reference",
+    block_frames: int = 256,
+    block_nodes: int = 512,
+    interpret: bool = False,
+):
+    """Block-sparse analog of output_layer_flash_stats, for the
+    tensor-parallel fused-softmax MASKED path: each model shard runs the
+    tile-skipping kernel over its local weight columns and mask slice,
+    emitting local logits plus UN-normalized flash stats; the globally
+    exact softmax then needs only the tiny stat collectives
+    (parallel.sharded._sharded_fused_posteriors).
+
+    `valid_count` is a DYNAMIC int32 scalar — this shard's real senone
+    count; under reference semantics each shard's skipped REAL columns
+    join its local sum as exp(0)=1 via the nskip init, so psum over
+    shards counts every inactive senone exactly once.  Columns at or
+    beyond valid_count carry the -1e30 cap even inside skipped-block
+    fills (capped_fill): the sharded output keeps the full padded width,
+    so a constant reference fill would leak exp(0) into padding columns.
+
+    Returns (z [B, n_local], m [B, 1], s [B, 1]).
+    """
+    z, m, s = _block_sparse_stats_call(
+        acts_i8, w_i8, colsum128_i32, inv_scale_f32, bias_f32, masks,
+        valid_count=valid_count, semantics=semantics,
+        block_frames=block_frames, block_nodes=block_nodes,
+        interpret=interpret, capped_fill=True,
+    )
+    return z, m[:, :1], s[:, :1]
+
+
+def _block_sparse_stats_call(
+    acts_i8, w_i8, colsum128_i32, inv_scale_f32, bias_f32, masks, *,
+    valid_count, semantics, block_frames, block_nodes, interpret, capped_fill,
+):
+    """Shared plumbing for the tile-skipping masked output kernel: returns
+    raw (z [B, n], m [B, LANES], s [B, LANES]).  `valid_count` may be a
+    Python int or a traced int32 scalar (the per-shard senone cutoff)."""
     b, k = acts_i8.shape
     n = w_i8.shape[1]
     bm = min(block_frames, b)
@@ -793,9 +869,10 @@ def output_layer_posteriors_block_sparse(
     grid = (nj, ni)  # frames iterate fastest: weight block reused
 
     # tiny XLA prologue: block activity + skipped-real-column counts
+    valid = jnp.asarray(valid_count, jnp.int32)
     mblocks = (masks != 0).reshape(ni, bm, nj, bn)
     act = mblocks.any(axis=(1, 3))  # [ni, nj]
-    real_cols = jnp.clip(out_dim - jnp.arange(nj) * bn, 0, bn)  # [nj]
+    real_cols = jnp.clip(valid - jnp.arange(nj) * bn, 0, bn)  # [nj]
     nskip = jnp.sum(
         jnp.where(act, 0, real_cols[None, :]), axis=1, dtype=jnp.int32
     )  # [ni]
@@ -818,7 +895,7 @@ def output_layer_posteriors_block_sparse(
         pl.BlockSpec((bm, LANES), last_sweep, memory_space=pltpu.VMEM),
     )
     z, m, s = pl.pallas_call(
-        _block_sparse_kernel_factory(bm, bn, semantics),
+        _block_sparse_kernel_factory(bm, bn, semantics, capped_fill),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -843,16 +920,12 @@ def output_layer_posteriors_block_sparse(
         colsum128_i32.reshape(1, n),
         bias_f32.reshape(1, n),
         jnp.asarray(inv_scale_f32, jnp.float32).reshape(1, 1),
-        jnp.asarray(out_dim, jnp.int32).reshape(1, 1),
+        valid.reshape(1, 1),
         masks,
         act.T.astype(jnp.int32),
         nskip,
     )
-    p = jnp.exp(z[:, :out_dim] - m[:, :1]) / jnp.maximum(
-        s[:, :1], jnp.finfo(jnp.float32).tiny
-    )
-    # fully-masked active_only rows (running max still at the cap) -> zeros
-    return jnp.where(m[:, :1] > -1e29, p, 0.0)
+    return z, m, s
 
 
 def _resident_block_sparse_kernel_factory(

@@ -122,7 +122,10 @@ def _sharded_posteriors_from_logits(z, masks, valid, semantics):
     return e / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
 
 
-def _sharded_fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret, out_blocks):
+def _sharded_fused_posteriors(
+    net, acts, masks, *, out_dim, semantics, interpret, out_blocks,
+    block_sparse=False,
+):
     """Tensor-parallel FUSED softmax: each shard's flash-stats kernel emits
     local logits plus un-normalized (max, sum-of-exp) in ONE MXU pass, so
     the globally-exact softmax costs only two scalar-per-frame collectives
@@ -130,6 +133,13 @@ def _sharded_fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret
     round-trip like the logits-kernel + collective-softmax path.  The
     kernel's valid-column cutoff is dynamic (the real-senone count varies
     per shard), and masked semantics are applied in-kernel.
+
+    block_sparse (masked calls only): each shard runs the tile-skipping
+    stats kernel over its local mask slice instead — all-inactive
+    (frame x node) tiles skip their matmul and stats work.  Reference
+    semantics stay globally exact: every shard's skipped REAL senones
+    enter its local sum as exp(0)=1 (the nskip init), so the psum counts
+    each inactive senone exactly once.
     """
     from ..engine import pallas_backend
 
@@ -139,18 +149,32 @@ def _sharded_fused_posteriors(net, acts, masks, *, out_dim, semantics, interpret
     bkw = {}
     if out_blocks is not None:
         bkw = dict(block_frames=out_blocks[0], block_nodes=out_blocks[1])
-    z, m_l, s_l = pallas_backend.output_flash_stats(
-        acts,
-        net.weights[-1],
-        net.colsum128[-1],
-        net.inv_scales[-1],
-        net.biases[-1],
-        masks,
-        valid_count=valid,
-        semantics=semantics,
-        interpret=interpret,
-        **bkw,
-    )
+    if block_sparse and masks is not None:
+        z, m_l, s_l = pallas_backend.output_flash_stats_block_sparse(
+            acts,
+            net.weights[-1],
+            net.colsum128[-1],
+            net.inv_scales[-1],
+            net.biases[-1],
+            masks,
+            valid_count=valid,
+            semantics=semantics,
+            interpret=interpret,
+            **bkw,
+        )
+    else:
+        z, m_l, s_l = pallas_backend.output_flash_stats(
+            acts,
+            net.weights[-1],
+            net.colsum128[-1],
+            net.inv_scales[-1],
+            net.biases[-1],
+            masks,
+            valid_count=valid,
+            semantics=semantics,
+            interpret=interpret,
+            **bkw,
+        )
     m = jax.lax.pmax(m_l, MODEL_AXIS)
     s = jax.lax.psum(s_l * jnp.exp(m_l - m), MODEL_AXIS)
     p = jnp.exp(z - m) / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
@@ -177,6 +201,7 @@ def make_mesh_programs(
     hidden_blocks=None,
     out_blocks=None,
     true_output_dim: Optional[int] = None,
+    block_sparse: bool = False,
 ):
     """Jitted shard_map programs for mesh-backed Scorers.
 
@@ -194,6 +219,12 @@ def make_mesh_programs(
     width [B, N_padded] sharded over (data, model); padding columns are 0.
     """
     model = mesh.shape[MODEL_AXIS]
+    if block_sparse and not (backend == "pallas" and fused_softmax):
+        raise ValueError(
+            "block_sparse mesh programs need backend='pallas' with "
+            "fused_softmax=True — the tile-skipping lives inside the "
+            "fused masked kernels"
+        )
     if model > 1 and fast_posteriors:
         raise ValueError(
             "fast_posteriors (bf16 posteriors) is not supported with a "
@@ -233,7 +264,8 @@ def make_mesh_programs(
             return score_masked_fn(
                 net, frames, masks[:, :out_dim], out_dim=out_dim,
                 semantics=semantics, fused_softmax=fused_softmax,
-                fast_posteriors=fast_posteriors, **kw,
+                fast_posteriors=fast_posteriors, block_sparse=block_sparse,
+                **kw,
             )
 
         def from_acts_body(net, acts, masks):
@@ -253,6 +285,7 @@ def make_mesh_programs(
                 return _sharded_fused_posteriors(
                     net, acts, masks, out_dim=out_dim, semantics=semantics,
                     interpret=interpret, out_blocks=out_blocks,
+                    block_sparse=block_sparse,
                 )
             z = output_logits(net, acts, backend, interpret, out_blocks)
             return _sharded_posteriors_from_logits(

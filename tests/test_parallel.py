@@ -246,6 +246,64 @@ class TestMeshScorer:
                 assert not np.isnan(fm).any()
                 np.testing.assert_array_equal(fm[7], 0.0)
 
+    @pytest.mark.parametrize("data,model", [(2, 4), (4, 2), (8, 1)])
+    def test_block_sparse_lazy_on_mesh(self, rng, data, model):
+        """lazy_mode='block_sparse' on a mesh: each model shard's
+        tile-skipping stats kernel + the cross-shard stat collectives must
+        equal the dense mesh engine and the single-device engine, both
+        semantics, including a fully-masked row, block-structured decoder
+        masks, and a senone count whose padding lands in the last shard
+        (the capped_fill guard: skipped-tile reference fills must NOT leak
+        exp(0) into padding columns of the assembled output)."""
+        from fastdnn_tpu.models.feedforward import random_net
+
+        net = random_net(jax.random.PRNGKey(10), 432, [128, 128], 300)
+        q = quantize_net(net)
+        frames = rng.standard_normal((64, 432)).astype(np.float32)
+        # block-structured masks (decoder-like) plus a dead frame
+        masks = np.zeros((64, 300), np.uint8)
+        masks[:32, 20:90] = rng.random((32, 70)) < 0.5
+        masks[32:, 180:260] = rng.random((32, 80)) < 0.5
+        masks[7] = 0
+        mesh = pmesh.make_mesh(data=data, model=model)
+        for semantics in ("reference", "active_only"):
+            single = Scorer(q, EngineConfig(backend="xla", lazy_semantics=semantics))
+            dense = Scorer(
+                q,
+                EngineConfig(
+                    backend="pallas", interpret=True, fused_softmax=True,
+                    lazy_semantics=semantics,
+                ),
+                mesh=mesh,
+            )
+            sparse = Scorer(
+                q,
+                EngineConfig(
+                    backend="pallas", interpret=True, fused_softmax=True,
+                    lazy_semantics=semantics, lazy_mode="block_sparse",
+                ),
+                mesh=mesh,
+            )
+            sm = sparse.score_masked(frames, masks)
+            np.testing.assert_allclose(
+                sm, dense.score_masked(frames, masks), atol=3e-5
+            )
+            np.testing.assert_allclose(
+                sm, single.score_masked(frames, masks), atol=3e-5
+            )
+            # unmasked scoring unaffected by lazy_mode
+            np.testing.assert_allclose(
+                sparse.score(frames), single.score(frames), atol=3e-5
+            )
+
+    def test_block_sparse_mesh_requires_pallas_fused(self, qnet):
+        with pytest.raises(ValueError, match="block_sparse"):
+            Scorer(
+                qnet,
+                EngineConfig(backend="xla", lazy_mode="block_sparse"),
+                mesh=pmesh.make_mesh(data=2, model=4),
+            )
+
     @pytest.mark.parametrize("backend_kw", [
         dict(backend="xla"),
         dict(backend="pallas", interpret=True),

@@ -266,6 +266,36 @@ def check_kernels(detail, batch: int) -> bool:
     )[:, :out_dim]
     want_p = _oracle_posteriors(qnet, want_acts, None, out_dim, "reference")
     ok &= _close("flash_stats_tp_combine", p_tp, want_p, POSTERIOR_ATOL, detail)
+
+    # block-sparse TP half: per-shard tile-skipping stats kernel + the same
+    # combine (parallel/sharded._sharded_fused_posteriors block_sparse=True);
+    # the clustered masks split across the column shards, dead row included
+    for sem in ("reference", "active_only"):
+        shards = []
+        for lo, valid in ((0, half), (half, out_dim - half)):
+            w = qnet.weights[-1][:, lo : lo + half]
+            cs = qnet.colsum128[-1][lo : lo + half]
+            b = qnet.biases[-1][lo : lo + half]
+            z, m_l, s_l = pb.output_flash_stats_block_sparse(
+                acts, w, cs, qnet.inv_scales[-1], b,
+                bs_masks[:, lo : lo + half],
+                valid_count=jnp.int32(valid), semantics=sem,
+                interpret=interpret,
+            )
+            shards.append((np.asarray(z), np.asarray(m_l), np.asarray(s_l)))
+        m_g = np.maximum(shards[0][1], shards[1][1])
+        s_g = sum(s * np.exp(m - m_g) for _, m, s in shards)
+        p_bs = np.concatenate(
+            [np.exp(z - m_g) / np.maximum(s_g, np.finfo(np.float32).tiny)
+             for z, _, _ in shards],
+            axis=1,
+        )[:, :out_dim]
+        p_bs = np.where(m_g > -1e29, p_bs, 0.0)
+        want_bs = _oracle_posteriors(qnet, want_acts, bs_masks, out_dim, sem)
+        ok &= _close(
+            f"flash_stats_block_sparse_tp_combine_{sem}", p_bs, want_bs,
+            POSTERIOR_ATOL, detail,
+        )
     return ok
 
 
