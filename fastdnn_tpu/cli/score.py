@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="if set, score lazily with synthetic evolving masks at this active density",
     )
+    p.add_argument(
+        "--lazy-mode",
+        default="auto",
+        choices=["auto", "dense", "gathered", "block_sparse"],
+        help="masked-scoring strategy (config.EngineConfig.lazy_mode); "
+        "block_sparse skips all-inactive MXU tiles (pallas backend; pair "
+        "with clustered senone ids, engine.cluster)",
+    )
     p.add_argument("--iterations", type=int, default=1, help="repeat scoring (timing)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument(
@@ -129,7 +137,11 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(data=args.mesh_data, model=args.mesh_model or 1)
         print(f"Mesh        = data={mesh.shape['data']} x model={mesh.shape['model']}")
-    scorer = Scorer(qnet, EngineConfig(backend=args.backend), mesh=mesh)
+    scorer = Scorer(
+        qnet,
+        EngineConfig(backend=args.backend, lazy_mode=args.lazy_mode),
+        mesh=mesh,
+    )
 
     if utts is not None:
         t0 = time.perf_counter()

@@ -152,6 +152,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-batch-frames", type=int, default=8192)
     p.add_argument("--max-wait-ms", type=float, default=3.0)
     p.add_argument(
+        "--lazy-mode",
+        default="auto",
+        choices=["auto", "dense", "gathered", "block_sparse"],
+        help="masked-scoring strategy (config.EngineConfig.lazy_mode); "
+        "block_sparse skips all-inactive MXU tiles (pallas backend; "
+        "clients must send clustered senone ids, engine.cluster)",
+    )
+    p.add_argument(
         "--mesh-model",
         type=int,
         default=0,
@@ -206,7 +214,9 @@ def build_scorer(args):
         args.model, cutoff=args.cutoff,
         hidden_bits=getattr(args, "hidden_bits", 8),
     )
-    cfg = EngineConfig(backend=args.backend)
+    cfg = EngineConfig(
+        backend=args.backend, lazy_mode=getattr(args, "lazy_mode", "auto")
+    )
     mesh_model = getattr(args, "mesh_model", 0)
     mesh_data = getattr(args, "mesh_data", None)
     # either mesh flag activates a mesh (matching fastdnn-score's behavior)

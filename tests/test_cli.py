@@ -134,6 +134,19 @@ class TestScoreCLI:
         # reference lazy semantics: all posteriors positive (exp(0) mass)
         assert posteriors.min() > 0
 
+    def test_score_lazy_mode_flag(self, tmp_path, model_file):
+        """--lazy-mode reaches EngineConfig: 'dense' scores identically to
+        the default, 'block_sparse' with the xla backend is refused with
+        the Scorer's clear error (it needs pallas + fused_softmax)."""
+        out_a, out_b = tmp_path / "a.txt", tmp_path / "b.txt"
+        base = [model_file, os.path.join(DATA, "16khz.bin")]
+        tail = ["TXT", "--backend", "xla", "--mask-density", "0.4"]
+        assert score.main(base + [str(out_a)] + tail) == 0
+        assert score.main(base + [str(out_b)] + tail + ["--lazy-mode", "dense"]) == 0
+        np.testing.assert_array_equal(np.loadtxt(out_a), np.loadtxt(out_b))
+        with pytest.raises(ValueError, match="block_sparse"):
+            score.main(base + [str(out_a)] + tail + ["--lazy-mode", "block_sparse"])
+
     def test_mask_generator_density_and_churn(self, rng):
         masks = score.generate_masks(rng, 50, 1000, 0.4)
         density = masks.mean(axis=1)
