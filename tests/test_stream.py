@@ -199,6 +199,32 @@ class TestScoreServer:
             want = sc.score_masked(frames, masks)
             np.testing.assert_allclose(got, want, atol=2e-6)
 
+    def test_masked_streaming_block_sparse(self, small_net, rng):
+        """StreamingScorer over a block-sparse Scorer (the --lazy-mode
+        block_sparse serving path): cross-utterance masked batching must
+        resolve per-utterance results identical to direct dense scoring."""
+        from fastdnn_tpu.engine.stream import StreamingScorer
+
+        qnet = quantize_net(small_net)
+        sc_bs = Scorer(
+            qnet,
+            EngineConfig(
+                backend="pallas", interpret=True, lazy_mode="block_sparse"
+            ),
+        )
+        oracle = Scorer(qnet, EngineConfig(backend="xla"))
+        utts = rand_utts(rng, 3, 432)
+        masks = [
+            (rng.random((u.shape[0], 400)) < 0.3).astype(np.uint8) for u in utts
+        ]
+        with StreamingScorer(sc_bs, max_batch_frames=256) as ss:
+            futs = [ss.submit(u, m) for u, m in zip(utts, masks)]
+            got = [f.result(120) for f in futs]
+        for g, u, m in zip(got, utts, masks):
+            np.testing.assert_allclose(
+                g, oracle.score_masked(u, m), atol=3e-5
+            )
+
     def test_oversized_dim_rejected_before_payload(self, server, scorer):
         """A request declaring dim > the model's input width used to be
         accepted and desynchronize masked streams; it must error cleanly."""
