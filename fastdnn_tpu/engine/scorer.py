@@ -406,6 +406,14 @@ class Scorer:
         self._backend = self.config.resolve_backend(_default_platform())
         self._output_dim = net.output_dim
         self._input_dim = net.input_dim
+        if self.config.lazy_mode == "block_sparse" and not (
+            self._backend == "pallas" and self.config.fused_softmax
+        ):
+            raise ValueError(
+                "lazy_mode='block_sparse' needs backend='pallas' (or 'auto' "
+                "on TPU) with fused_softmax=True — the tile-skipping lives "
+                "inside the fused masked kernels"
+            )
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
@@ -415,15 +423,6 @@ class Scorer:
                 raise ValueError(
                     "lazy_mode='gathered' is single-device only; use "
                     "'dense', 'block_sparse', or 'auto' with a mesh"
-                )
-            if self.config.lazy_mode == "block_sparse" and not (
-                self.config.resolve_backend(_default_platform()) == "pallas"
-                and self.config.fused_softmax
-            ):
-                raise ValueError(
-                    "lazy_mode='block_sparse' needs backend='pallas' (or "
-                    "'auto' on TPU) with fused_softmax=True — the "
-                    "tile-skipping lives inside the fused masked kernels"
                 )
         else:
             self._data_size = 1
@@ -508,15 +507,8 @@ class Scorer:
                 )
             except Exception:  # pragma: no cover - layout API drift
                 jit_kw = {}
+        # (block_sparse preconditions were validated once at __init__ top)
         block_sparse = self.config.lazy_mode == "block_sparse"
-        if block_sparse and not (
-            self._backend == "pallas" and self.config.fused_softmax
-        ):
-            raise ValueError(
-                "lazy_mode='block_sparse' needs backend='pallas' (or 'auto' "
-                "on TPU) with fused_softmax=True — the tile-skipping lives "
-                "inside the fused masked kernels"
-            )
         self._score = jax.jit(functools.partial(score_fn, **kw), **jit_kw)
         self._score_masked = jax.jit(
             functools.partial(

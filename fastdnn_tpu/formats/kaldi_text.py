@@ -19,6 +19,7 @@ Three text formats, matching what the reference's Java layer accepts:
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Dict, List, Tuple
 
@@ -67,10 +68,12 @@ def _strtof_py(s: str, pos: int):
     if m is None:
         return 0.0, pos
     tok = m.group(0)
-    if "x" in tok or "X" in tok:
+    if "(" in tok:  # nan(char-seq): float() rejects the payload form (and
+        # the payload may itself contain 'x'); keep the sign like strtof
+        # does (-nan(..) has signbit set)
+        v = math.copysign(math.nan, -1.0 if tok[0] == "-" else 1.0)
+    elif "x" in tok or "X" in tok:
         v = float.fromhex(tok)
-    elif "(" in tok:  # nan(char-seq)
-        v = float("nan")
     else:
         v = float(tok)
     return v, m.end()

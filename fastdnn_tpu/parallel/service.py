@@ -30,8 +30,9 @@ runtime cannot cancel a hung all-reduce).  `call_timeout_s` arms a watchdog
 around every coordinated call: on expiry the scorer marks itself closed and
 raises RuntimeError — callers get a clean, loud failure instead of a silent
 hang, and supervisors must restart all processes (the collectives cannot be
-resynchronized).  The FIRST coordinated call gets the larger
-`first_call_timeout_s` allowance (it includes jit compilation), and on
+resynchronized).  First-of-its-kind calls (per program and bucketed
+shape) get the larger `first_call_timeout_s` allowance (they include a
+jit compile), and on
 expiry a best-effort OP_STOP is queued behind the abandoned call's
 collectives so a merely-slow pod's workers exit their loops instead of
 hanging at the next header broadcast.  Workers log loudly and re-raise on
@@ -141,12 +142,13 @@ class MultiHostScorer(Scorer):
     call_timeout_s: watchdog for coordinated calls — expiry means a worker
         is unreachable; the scorer closes itself and raises.  None = wait
         forever (the r1 behavior).
-    first_call_timeout_s: watchdog allowance for the FIRST coordinated
-        call only, which includes jit compilation (20-40 s per shape even
-        single-chip; minutes on large pods) — a production call_timeout_s
-        tuned to steady-state latency would otherwise declare a healthy
-        pod dead while it compiles.  Defaults to
-        max(call_timeout_s, 300); ignored when call_timeout_s is None.
+    first_call_timeout_s: watchdog allowance for every FIRST-OF-ITS-KIND
+        coordinated call — one per (program, bucketed shape), since each
+        includes a jit compile (20-40 s per shape even single-chip;
+        minutes on large pods) — a production call_timeout_s tuned to
+        steady-state latency would otherwise declare a healthy pod dead
+        while it compiles.  Defaults to max(call_timeout_s, 300); ignored
+        when call_timeout_s is None.
     """
 
     def __init__(
@@ -171,7 +173,8 @@ class MultiHostScorer(Scorer):
         if first_call_timeout_s is None and call_timeout_s is not None:
             first_call_timeout_s = max(call_timeout_s, 300.0)
         self._first_call_timeout_s = first_call_timeout_s
-        self._warm = False  # set after the first coordinated call completes
+        # (program, shape) keys whose call completed once: compiled already
+        self._warm_keys: set = set()
         if not self._multi:
             return
         self._scatter = scatter and _kv_client() is not None
@@ -255,11 +258,13 @@ class MultiHostScorer(Scorer):
 
     # -- coordinator side ----------------------------------------------------
 
-    def _with_watchdog(self, fn):
+    def _with_watchdog(self, fn, key=None):
         """Run fn(); if the call timeout elapses first, declare the pod dead.
 
-        The first coordinated call gets first_call_timeout_s (it includes
-        jit compilation); later calls get call_timeout_s.  The hung
+        A coordinated call whose (program, shape) `key` has not completed
+        before gets first_call_timeout_s — jit compilation is per program
+        and per bucketed shape, not per scorer, so EVERY first-of-its-kind
+        call includes a compile; repeat calls get call_timeout_s.  The hung
         collective cannot be cancelled — the runner thread is abandoned
         (daemon) and the scorer closes so subsequent calls fail fast
         instead of stacking up behind a dead pod.  On expiry a best-effort
@@ -271,7 +276,8 @@ class MultiHostScorer(Scorer):
         """
         if self._call_timeout_s is None:
             return fn()
-        timeout = self._call_timeout_s if self._warm else self._first_call_timeout_s
+        warm = key in self._warm_keys
+        timeout = self._call_timeout_s if warm else self._first_call_timeout_s
         result: list = [None]
         error: list = [None]
 
@@ -303,7 +309,7 @@ class MultiHostScorer(Scorer):
             )
         if error[0] is not None:
             raise error[0]
-        self._warm = True
+        self._warm_keys.add(key)
         return result[0]
 
     def _coordinated_score(self, net, padded, _masks=None):
@@ -321,7 +327,7 @@ class MultiHostScorer(Scorer):
                 gf = self._ship_global(self._seq, "f", self._frames_spec, frames)
                 return self._replicate(self._score_prog(net, gf))
 
-        return self._with_watchdog(call)
+        return self._with_watchdog(call, ("score",) + frames.shape)
 
     def _check_open(self):
         if self._closed:
@@ -348,7 +354,9 @@ class MultiHostScorer(Scorer):
                 gm = self._ship_global(self._seq, "m", self._masks_spec, masks)
                 return self._replicate(self._masked_prog(net, gf, gm))
 
-        return self._with_watchdog(call)
+        return self._with_watchdog(
+            call, ("masked",) + frames.shape + masks.shape
+        )
 
     def _heartbeat(self, interval: float) -> None:
         import time

@@ -129,6 +129,38 @@ class TestNativeTextFeatures:
         with pytest.raises(ValueError):
             native.read_features_text(p)
 
+    def test_python_fallback_tokenizer_matches_libc_strtof(self):
+        """_strtof_py (the no-libc fallback) must agree with ctypes strtof
+        token-for-token on representative inputs, including signed
+        nan(payload), hex, inf spellings, glued tokens, and whitespace
+        skipping (\\v/\\f and even a newline they precede)."""
+        import ctypes
+
+        from fastdnn_tpu.formats import kaldi_text as kt
+
+        assert kt._C_STRTOF is not None  # this box has a dlopen-able libc
+        samples = [
+            "1.5", "-2e-3", "0x10", "-0X1.8p1", "inf", "-Infinity",
+            "nan", "-nan", "nan(1)", "-nan(0x1)", "1.5-2", "3.starts",
+            "\v\f 7", "\f\n8", "  -0.25junk", "junk", "",
+        ]
+        for s in samples:
+            buf = ctypes.create_string_buffer(s.encode("ascii"))
+            endp = ctypes.c_void_p()
+            base = ctypes.addressof(buf)
+            want_v = kt._C_STRTOF(base, ctypes.byref(endp))
+            want_end = (endp.value or base) - base
+            got_v, got_end = kt._strtof_py(s, 0)
+            assert got_end == want_end, (s, got_end, want_end)
+            if want_end:  # a conversion happened: values must match exactly
+                want32, got32 = np.float32(want_v), np.float32(got_v)
+                if np.isnan(want32):
+                    assert np.isnan(got32) and (
+                        np.signbit(got32) == np.signbit(want32)
+                    ), (s, got_v, want_v)
+                else:
+                    assert got32 == want32, (s, got_v, want_v)
+
     def test_strtof_quirk_agreement(self, native, tmp_path):
         """Curated quirky/malformed inputs: the Python mirror and the native
         strtof loop must parse IDENTICALLY or both reject.  Covers the

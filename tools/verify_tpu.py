@@ -246,51 +246,47 @@ def check_kernels(detail, batch: int) -> bool:
                 POSTERIOR_ATOL, detail,
             )
 
-    # tensor-parallel kernel half: flash stats per column shard + the
-    # pmax/psum combine algebra (parallel/sharded.py:154-155)
+    # tensor-parallel kernel halves: per-column-shard stats kernels + the
+    # pmax/psum combine algebra (parallel/sharded._sharded_fused_posteriors)
     half = n_pad // 2
-    shards = []
-    for lo, valid in ((0, half), (half, out_dim - half)):
-        w = qnet.weights[-1][:, lo : lo + half]
-        cs = qnet.colsum128[-1][lo : lo + half]
-        b = qnet.biases[-1][lo : lo + half]
-        z, m_l, s_l = pb.output_flash_stats(
-            acts, w, cs, qnet.inv_scales[-1], b, None,
-            valid_count=jnp.int32(valid), interpret=interpret,
-        )
-        shards.append((np.asarray(z), np.asarray(m_l), np.asarray(s_l)))
-    m_g = np.maximum(shards[0][1], shards[1][1])
-    s_g = sum(s * np.exp(m - m_g) for _, m, s in shards)
-    p_tp = np.concatenate(
-        [np.exp(z - m_g) / s_g for z, _, _ in shards], axis=1
-    )[:, :out_dim]
-    want_p = _oracle_posteriors(qnet, want_acts, None, out_dim, "reference")
-    ok &= _close("flash_stats_tp_combine", p_tp, want_p, POSTERIOR_ATOL, detail)
 
-    # block-sparse TP half: per-shard tile-skipping stats kernel + the same
-    # combine (parallel/sharded._sharded_fused_posteriors block_sparse=True);
-    # the clustered masks split across the column shards, dead row included
-    for sem in ("reference", "active_only"):
+    def tp_combine(stats_fn, masks_or_none, sem):
+        """Split the output layer in two column shards, run the per-shard
+        stats kernel, and reproduce the sharded softmax combine."""
         shards = []
         for lo, valid in ((0, half), (half, out_dim - half)):
-            w = qnet.weights[-1][:, lo : lo + half]
-            cs = qnet.colsum128[-1][lo : lo + half]
-            b = qnet.biases[-1][lo : lo + half]
-            z, m_l, s_l = pb.output_flash_stats_block_sparse(
-                acts, w, cs, qnet.inv_scales[-1], b,
-                bs_masks[:, lo : lo + half],
-                valid_count=jnp.int32(valid), semantics=sem,
+            m_sl = None if masks_or_none is None else masks_or_none[:, lo : lo + half]
+            z, m_l, s_l = stats_fn(
+                acts,
+                qnet.weights[-1][:, lo : lo + half],
+                qnet.colsum128[-1][lo : lo + half],
+                qnet.inv_scales[-1],
+                qnet.biases[-1][lo : lo + half],
+                m_sl,
+                valid_count=jnp.int32(valid),
+                semantics=sem,
                 interpret=interpret,
             )
             shards.append((np.asarray(z), np.asarray(m_l), np.asarray(s_l)))
         m_g = np.maximum(shards[0][1], shards[1][1])
         s_g = sum(s * np.exp(m - m_g) for _, m, s in shards)
-        p_bs = np.concatenate(
+        p = np.concatenate(
             [np.exp(z - m_g) / np.maximum(s_g, np.finfo(np.float32).tiny)
              for z, _, _ in shards],
             axis=1,
         )[:, :out_dim]
-        p_bs = np.where(m_g > -1e29, p_bs, 0.0)
+        # fully-capped rows (fully-masked active_only) -> zeros, like
+        # _sharded_fused_posteriors' final where()
+        return np.where(m_g > -1e29, p, 0.0)
+
+    p_tp = tp_combine(pb.output_flash_stats, None, "reference")
+    want_p = _oracle_posteriors(qnet, want_acts, None, out_dim, "reference")
+    ok &= _close("flash_stats_tp_combine", p_tp, want_p, POSTERIOR_ATOL, detail)
+
+    # block-sparse TP half: per-shard tile-skipping stats kernel, clustered
+    # masks split across the column shards, dead row included
+    for sem in ("reference", "active_only"):
+        p_bs = tp_combine(pb.output_flash_stats_block_sparse, bs_masks, sem)
         want_bs = _oracle_posteriors(qnet, want_acts, bs_masks, out_dim, sem)
         ok &= _close(
             f"flash_stats_block_sparse_tp_combine_{sem}", p_bs, want_bs,
