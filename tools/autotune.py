@@ -1,0 +1,159 @@
+"""Block-size autotuner: find the fastest EngineConfig grid knobs for a
+given net shape and batch on the REAL accelerator.
+
+The shipped defaults (block_frames/block_nodes_hidden = 1024/1024,
+block_frames_out = 256) were device-trace-tuned for the flagship
+7x2048/8000 net at batch 8192 on v5e (docs/performance.md).  Other net
+shapes, batch sizes, or TPU generations can prefer different tilings —
+this tool sweeps the candidates and reports the measured best, using the
+same exact per-kernel device times as tools/profile.py (wall clocks
+through the relay are untrustworthy; see that module's docstring).
+
+Two-stage sweep (keeps compiles bounded):
+  1. hidden-layer (block_frames x block_nodes) over the divisor-valid
+     subset of {256, 512, 1024, 2048}^2, output blocks fixed;
+  2. output block_frames over {128, 256, 512} with the stage-1 winner.
+
+Usage:
+    python tools/autotune.py                         # flagship, batch 8192
+    python tools/autotune.py --hidden 1024 --layers 5 --out-dim 4000
+    python tools/autotune.py --batch 1024 --out tuned.json
+
+Output: a table per stage plus ONE JSON line with the winning knobs,
+ready to splat into EngineConfig(**knobs).  On CPU (no TPU) it still
+runs — interpret-mode, device times ~0 — as a smoke path only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+_spec = importlib.util.spec_from_file_location(
+    "_fdn_profile", os.path.join(os.path.dirname(os.path.abspath(__file__)), "profile.py")
+)
+_profile = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_profile)
+_device_total_ms = _profile._device_total_ms
+
+HIDDEN_CANDIDATES = (256, 512, 1024, 2048)
+OUT_FRAME_CANDIDATES = (128, 256, 512)
+
+
+def _build(qnet, bf, bnh, bfo, interpret):
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+
+    return Scorer(
+        qnet,
+        EngineConfig(
+            backend="pallas", interpret=interpret,
+            block_frames=bf, block_nodes_hidden=bnh, block_frames_out=bfo,
+        ),
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--hidden", type=int, default=2048)
+    p.add_argument("--layers", type=int, default=7)
+    p.add_argument("--out-dim", type=int, default=8000)
+    p.add_argument("--input-dim", type=int, default=432)
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--out", default=None, help="also write the JSON to a file")
+    args = p.parse_args(argv)
+
+    from fastdnn_tpu.config import EngineConfig, honor_jax_platforms_env
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.quant.quantize import pad_qnet_for_tpu, quantize_net
+
+    honor_jax_platforms_env()
+    interpret = jax.devices()[0].platform != "tpu"
+    if interpret:
+        print("WARNING: no TPU — interpret-mode smoke run, times meaningless",
+              flush=True)
+
+    net = random_net(
+        jax.random.PRNGKey(0), args.input_dim,
+        [args.hidden] * args.layers, args.out_dim,
+    )
+    qnet = pad_qnet_for_tpu(quantize_net(net, cutoff=3.0))
+    frames = np.random.default_rng(0).standard_normal(
+        (args.batch, qnet.input_dim)
+    ).astype(np.float32)
+
+    def measure(bf, bnh, bfo):
+        sc = _build(qnet, bf, bnh, bfo, interpret)
+        padded, _ = sc._prepare(frames)
+        return _device_total_ms(lambda: sc._score(sc.net, padded), reps=args.reps)
+
+    d = EngineConfig()  # shipped defaults as the sweep baseline
+    hidden_pad = qnet.weights[0].shape[1]
+    best = dict(
+        block_frames=d.block_frames,
+        block_nodes_hidden=d.block_nodes_hidden,
+        block_frames_out=d.block_frames_out,
+    )
+    base_ms = measure(
+        best["block_frames"], best["block_nodes_hidden"], best["block_frames_out"]
+    )
+    print(f"defaults {best} : {base_ms:7.3f} ms/{args.batch} frames", flush=True)
+
+    print("\nstage 1: hidden blocks (frames x nodes)", flush=True)
+    best_ms = base_ms
+    for bf in HIDDEN_CANDIDATES:
+        if args.batch % bf:
+            continue
+        for bnh in HIDDEN_CANDIDATES:
+            if hidden_pad % bnh:
+                continue
+            if (bf, bnh) == (d.block_frames, d.block_nodes_hidden):
+                continue
+            ms = measure(bf, bnh, best["block_frames_out"])
+            mark = ""
+            if ms < best_ms:
+                best_ms = ms
+                best["block_frames"], best["block_nodes_hidden"] = bf, bnh
+                mark = "  <-- best"
+            print(f"  {bf:>5} x {bnh:<5} : {ms:7.3f} ms{mark}", flush=True)
+
+    print("\nstage 2: output frame block", flush=True)
+    for bfo in OUT_FRAME_CANDIDATES:
+        if bfo == best["block_frames_out"] or args.batch % bfo:
+            continue
+        ms = measure(best["block_frames"], best["block_nodes_hidden"], bfo)
+        mark = ""
+        if ms < best_ms:
+            best_ms = ms
+            best["block_frames_out"] = bfo
+            mark = "  <-- best"
+        print(f"  out frames {bfo:>4} : {ms:7.3f} ms{mark}", flush=True)
+
+    result = {
+        "net": f"{args.input_dim}-{args.layers}x{args.hidden}-{args.out_dim}",
+        "batch": args.batch,
+        "platform": jax.devices()[0].platform,
+        "default_ms": round(base_ms, 3),
+        "best_ms": round(best_ms, 3),
+        "speedup_vs_default": round(base_ms / max(best_ms, 1e-9), 3),
+        "knobs": best,
+    }
+    line = json.dumps(result)
+    print("\n" + line, flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
