@@ -147,6 +147,20 @@ class TestScoreCLI:
         with pytest.raises(ValueError, match="block_sparse"):
             score.main(base + [str(out_a)] + tail + ["--lazy-mode", "block_sparse"])
 
+    def test_score_hidden_bits4(self, tmp_path, model_file):
+        """--hidden-bits 4 quantizes the hidden trunk to int4 end to end;
+        posteriors stay valid and near the int8 run (the float-oracle
+        accuracy gate itself is test_quant's TestInt4Trunk)."""
+        out8, out4 = tmp_path / "p8.txt", tmp_path / "p4.txt"
+        base = [model_file, os.path.join(DATA, "16khz.bin")]
+        tail = ["TXT", "--backend", "xla"]
+        assert score.main(base + [str(out8)] + tail) == 0
+        assert score.main(base + [str(out4)] + tail + ["--hidden-bits", "4"]) == 0
+        p8, p4 = np.loadtxt(out8), np.loadtxt(out4)
+        assert p4.shape == p8.shape == (100, 50)
+        np.testing.assert_allclose(p4.sum(1), 1.0, atol=1e-5)
+        assert np.abs(p4 - p8).max() < 0.05
+
     def test_mask_generator_density_and_churn(self, rng):
         masks = score.generate_masks(rng, 50, 1000, 0.4)
         density = masks.mean(axis=1)

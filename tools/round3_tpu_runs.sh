@@ -28,6 +28,7 @@ run trace       900 python tools/profile.py trace
 run blocksparse 1500 python tools/profile.py blocksparse
 run int4        900 python tools/profile.py int4
 run serve       1200 python tools/bench_serve.py --ladder
+run autotune    1500 python tools/autotune.py --out /tmp/r3/tuned.json
 run bench       900 python bench.py
 
 echo "=== all done ($(date +%H:%M:%S)); logs in $OUT ==="
