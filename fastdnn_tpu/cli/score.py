@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--hidden-bits", type=int, default=8, choices=[8, 4],
         help="hidden-trunk weight width: 4 halves weight bytes (output "
-        "layer stays int8); gate accuracy per docs/quantization notes",
+        "layer stays int8); see docs/architecture.md 'int4 hidden trunk'",
     )
     p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument(
