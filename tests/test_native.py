@@ -314,6 +314,13 @@ class TestNativeFuzz:
         self._fuzz(native, tmp_path, data, native.read_features)
 
     def test_text_feature_parser_fuzz(self, native, tmp_path):
+        """Truncation/corruption fuzz: the native parser must never crash,
+        and the mirroring Python parser must AGREE on every fuzzed file —
+        identical utterances/matrices on accept, rejection on reject (the
+        statement-for-statement mirror makes full agreement assertable,
+        not just crash-freedom)."""
+        from fastdnn_tpu.formats import kaldi_text
+
         data = open(os.path.join(DATA, "16khz"), "rb").read()
 
         rng = np.random.default_rng(1)
@@ -326,12 +333,18 @@ class TestNativeFuzz:
                 for _ in range(int(rng.integers(1, 8))):
                     buf[int(rng.integers(0, len(buf)))] = int(rng.integers(32, 127))
             path.write_bytes(bytes(buf))
+            text = bytes(buf).decode("ascii", "replace")
             try:
-                out = native.read_features_text(str(path))
-                for mat in out.values():  # parsed data must be well-formed
-                    assert mat.ndim == 2
+                want = native.read_features_text(str(path))
             except ValueError:
-                pass
+                with pytest.raises(ValueError):
+                    kaldi_text.parse_features_text(text)
+                continue
+            got = kaldi_text.parse_features_text(text)
+            assert list(got) == list(want), f"trial {t}"
+            for k in want:  # parsed data must be well-formed AND identical
+                assert want[k].ndim == 2
+                np.testing.assert_array_equal(got[k], want[k], err_msg=f"trial {t}/{k}")
 
 
 def test_native_score_via_server(tmp_path):
