@@ -225,6 +225,29 @@ def run_config(name: str, backend: str, iters: int) -> dict:
     raise SystemExit(f"unknown config {name}")
 
 
+def _platform_or_die(timeout_s: float = 600.0) -> str:
+    """First backend touch, under a watchdog: a down TPU relay hangs
+    jax.devices() indefinitely with no error (observed >7 h continuously),
+    which would hang the whole benchmark run.  On timeout, emit ONE
+    machine-readable JSON error line (the same one-line contract as the
+    result) and exit non-zero so callers record a clean failure."""
+    import threading
+
+    box: list = []
+    t = threading.Thread(target=lambda: box.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not box:
+        print(json.dumps({
+            "metric": "audio_seconds_per_second_per_chip", "value": None,
+            "unit": "audio-s/s/chip", "vs_baseline": None,
+            "error": f"accelerator init did not complete within {timeout_s:.0f}s "
+                     "(TPU relay unreachable)",
+        }))
+        raise SystemExit(1)
+    return box[0][0].platform
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8192)
@@ -240,6 +263,8 @@ def main(argv=None) -> int:
     )
     args = p.parse_args(argv)
 
+    platform = _platform_or_die()
+
     if args.config:
         print(json.dumps(run_config(args.config, args.backend, args.iters)))
         return 0
@@ -252,7 +277,6 @@ def main(argv=None) -> int:
     if args.quick:
         args.batch, args.iters = 2048, 3
 
-    platform = jax.devices()[0].platform
     net = random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
     qnet = quantize_net(net, cutoff=3.0)
     scorer = Scorer(qnet, EngineConfig(backend=args.backend))
