@@ -297,7 +297,10 @@ class MultiHostScorer(Scorer):
                 # _bcast_lock orders this after the abandoned call's
                 # collectives; it blocks forever if the pod is truly dead,
                 # but only inside this abandoned daemon thread
-                with self._bcast_lock:
+                lock = getattr(self, "_bcast_lock", None)
+                if lock is None:  # single-process: nothing to release
+                    return
+                with lock:
                     _broadcast(np.array([OP_STOP, 0, 0, 0, 0], np.int32))
 
             threading.Thread(target=_stop_when_drained, daemon=True).start()

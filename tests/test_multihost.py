@@ -147,3 +147,42 @@ def test_tensor_parallel_across_processes(tmp_path):
     np.testing.assert_allclose(
         data["post_m"], single.score_masked(data["frames"], data["masks"]), atol=1e-5
     )
+
+
+def test_watchdog_first_of_kind_key_allowance():
+    """_with_watchdog gives every FIRST-OF-ITS-KIND (program, shape) key
+    the larger first_call_timeout_s (jit compiles are per program and
+    shape), while repeat keys get the steady-state call_timeout_s; expiry
+    in a single-process scorer degrades cleanly (no lock to release)."""
+    import time
+
+    import jax
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.parallel.mesh import make_mesh
+    from fastdnn_tpu.parallel.service import MultiHostScorer
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    qnet = quantize_net(random_net(jax.random.PRNGKey(6), 32, [64], 64))
+    sc = MultiHostScorer(
+        qnet, EngineConfig(backend="xla"), make_mesh(),
+        heartbeat_s=0, call_timeout_s=0.5, first_call_timeout_s=5.0,
+    )
+
+    def slow():
+        time.sleep(1.2)  # beyond call_timeout_s, inside first_call allowance
+        return 42
+
+    assert sc._with_watchdog(slow, ("score", 16, 32)) == 42  # cold: allowed
+    assert sc._with_watchdog(lambda: 7, ("score", 16, 32)) == 7
+    with pytest.raises(RuntimeError, match="did not complete"):
+        sc._with_watchdog(slow, ("score", 16, 32))  # warm: steady timeout
+    assert sc._closed  # watchdog expiry closes the scorer
+    # a different (never-completed) key would get the allowance again,
+    # but the scorer is closed now — construct a fresh one to prove it
+    sc2 = MultiHostScorer(
+        qnet, EngineConfig(backend="xla"), make_mesh(),
+        heartbeat_s=0, call_timeout_s=0.5, first_call_timeout_s=5.0,
+    )
+    assert sc2._with_watchdog(slow, ("masked", 16, 32, 64)) == 42
