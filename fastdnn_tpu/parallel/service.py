@@ -46,10 +46,11 @@ The reference has no analog (it is a single-process library, SURVEY.md §2
 "Parallelism ... none exist"); this replaces its thread-per-caller JNI
 serving model (MultiThreadedStressTest.java) at pod scale.
 
-Protocol note: LazyContext requires per-frame coordinator/worker round
-trips over retained device state; it is supported on single-process meshes
-but deliberately not over multiple processes (score_masked covers the lazy
-semantics batch-wise there).
+Protocol note: LazyContext over multiple processes is a coordinator-side
+shim (`_MultiHostLazyContext`) that routes each per-frame masked call
+through the coordinated score_masked program — no retained pod-sharded
+device state, no extra protocol ops; workers just keep running
+worker_loop().  For throughput use score_masked batch-wise.
 """
 
 from __future__ import annotations
@@ -246,8 +247,28 @@ class MultiHostScorer(Scorer):
         client = _kv_client()
         lo, hi = _process_row_range(self.mesh, spec, shape)
         key = f"{_KV_PREFIX}/{seq}/{tag}/{jax.process_index()}"
-        timeout_ms = int((self._call_timeout_s or 300.0) * 1000)
-        raw = client.blocking_key_value_get_bytes(key, timeout_ms)
+        if self._call_timeout_s is None:
+            # wait-forever contract (matches the no-watchdog coordinator):
+            # the KV client has no infinite timeout, so retry the blocking
+            # get indefinitely — a coordinator stalled between the header
+            # broadcast and key_value_set must not desynchronize the pod
+            import time as _time
+
+            while True:
+                t0 = _time.monotonic()
+                try:
+                    raw = client.blocking_key_value_get_bytes(key, 600_000)
+                    break
+                except Exception:
+                    # an instant failure is not a timeout (client torn down,
+                    # bad key): re-raise instead of spinning forever
+                    if _time.monotonic() - t0 < 1.0:
+                        raise
+                    continue
+        else:
+            raw = client.blocking_key_value_get_bytes(
+                key, int(self._call_timeout_s * 1000)
+            )
         try:
             client.key_value_delete(key)
         except Exception:  # cleanup is best-effort
@@ -259,7 +280,17 @@ class MultiHostScorer(Scorer):
     # -- coordinator side ----------------------------------------------------
 
     def _with_watchdog(self, fn, key=None):
-        """Run fn(); if the call timeout elapses first, declare the pod dead.
+        """Run fn(locked); if the call timeout elapses first, declare the
+        pod dead.
+
+        `fn` receives a threading.Event and must set it the moment it holds
+        `_bcast_lock`: the timeout clock starts only THEN.  Concurrent
+        scorer calls are a supported pattern (the lock exists to serialize
+        them), so time spent queued behind another healthy in-flight call
+        must not count toward the steady-state timeout — only the in-lock
+        portion (the actual coordinated collectives) is timed.  While
+        queued, the caller polls `_closed` so a pod declared dead by the
+        call ahead of it fails fast instead of waiting out its own timer.
 
         A coordinated call whose (program, shape) `key` has not completed
         before gets first_call_timeout_s — jit compilation is per program
@@ -275,20 +306,29 @@ class MultiHostScorer(Scorer):
         hangs too, but only inside an abandoned thread.
         """
         if self._call_timeout_s is None:
-            return fn()
+            return fn(None)
         warm = key in self._warm_keys
         timeout = self._call_timeout_s if warm else self._first_call_timeout_s
         result: list = [None]
         error: list = [None]
+        locked = threading.Event()
 
         def run():
             try:
-                result[0] = fn()
+                result[0] = fn(locked)
             except BaseException as e:  # surfaced to the caller below
                 error[0] = e
+            finally:
+                locked.set()  # unblock the caller on pre-lock failure too
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
+        while not locked.wait(0.25):  # untimed queueing phase
+            if self._closed:
+                raise RuntimeError(
+                    "MultiHostScorer was closed while this call was queued "
+                    "behind another (pod declared dead or workers released)"
+                )
         t.join(timeout)
         if t.is_alive():
             self._closed = True
@@ -318,9 +358,11 @@ class MultiHostScorer(Scorer):
     def _coordinated_score(self, net, padded, _masks=None):
         frames = np.asarray(padded, np.float32)
 
-        def call():
+        def call(locked=None):
             self._check_open()  # fail fast: the lock may be held by a hung call
             with self._bcast_lock:
+                if locked is not None:
+                    locked.set()  # watchdog clock starts here
                 self._check_open()
                 self._seq += 1
                 _broadcast(np.array(
@@ -343,9 +385,11 @@ class MultiHostScorer(Scorer):
         frames = np.asarray(padded, np.float32)
         masks = np.asarray(masks, np.uint8)
 
-        def call():
+        def call(locked=None):
             self._check_open()
             with self._bcast_lock:
+                if locked is not None:
+                    locked.set()  # watchdog clock starts here
                 self._check_open()
                 self._seq += 1
                 _broadcast(np.array(
@@ -422,15 +466,64 @@ class MultiHostScorer(Scorer):
             )
             raise
 
-    # -- unsupported over multiple processes -----------------------------------
+    # -- lazy API over multiple processes ---------------------------------------
 
     def new_lazy_context(self, input_vector_count: int):
+        """LazyContext parity over a pod (QuantizedDnn.java:72-107).
+
+        Coordinator-only: per-frame masked calls route through the
+        coordinated score_masked program, so workers just keep running
+        worker_loop() — no new protocol ops."""
         if self._multi:
-            raise NotImplementedError(
-                "LazyContext is not supported over multiple processes; use "
-                "score_masked (batched lazy semantics) or a single-process mesh"
-            )
+            if not self.is_coordinator:
+                raise RuntimeError(
+                    "LazyContext is coordinator-only on a multi-process "
+                    "mesh; worker processes run worker_loop()"
+                )
+            return _MultiHostLazyContext(self, input_vector_count)
         return super().new_lazy_context(input_vector_count)
+
+
+class _MultiHostLazyContext:
+    """Frame-by-frame lazy scoring over a multi-process pod.
+
+    API-parity shim (same surface as engine.scorer.LazyContext /
+    QuantizedDnn.java:72-98): each `calculate_for_output_nodes(mask)` routes
+    ONE frame through the coordinated score_masked program, recomputing the
+    hidden trunk for that frame instead of retaining pod-sharded activations
+    — retained device state would require every per-frame device op to be
+    mirrored in the worker protocol, and the per-frame latency is dominated
+    by the pod round trip either way.  Semantically exact (same masked
+    softmax program as the batch path).  For throughput use score_masked
+    directly, exactly as the single-process LazyContext docs advise.
+    """
+
+    def __init__(self, scorer: "MultiHostScorer", input_vector_count: int):
+        self._scorer = scorer
+        self.input_vector_count = input_vector_count
+        self.current_vector_index = 0
+        self._frames: Optional[np.ndarray] = None
+
+    def calculate_until_output(self, frames) -> None:
+        frames = np.asarray(frames, dtype=np.float32)
+        if frames.shape[0] != self.input_vector_count:
+            raise ValueError(
+                f"expected {self.input_vector_count} frames, got {frames.shape[0]}"
+            )
+        self._frames = frames
+        self.current_vector_index = 0  # context is reusable across utterances
+
+    def calculate_for_output_nodes(self, mask) -> np.ndarray:
+        """Posteriors f32 [out] for the next frame given its active-node mask."""
+        if self._frames is None:
+            raise RuntimeError("call calculate_until_output first")
+        i = self.current_vector_index
+        if i >= self.input_vector_count:
+            raise IndexError("all frames already consumed")
+        mask = (np.asarray(mask).reshape(1, -1) != 0).astype(np.uint8)
+        out = self._scorer.score_masked(self._frames[i : i + 1], mask)
+        self.current_vector_index += 1
+        return out[0]
 
 
 def _assemble(sharding, local_rows: np.ndarray, lo: int, shape):

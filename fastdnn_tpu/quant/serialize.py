@@ -74,11 +74,21 @@ def load_quantized(path, cutoff: float = 3.0, hidden_bits: int = 8):
             )
         qnet = load_qnet(path)
         dims = "-".join(str(d) for d in [qnet.input_dim] + qnet.layer_dims())
-        kind = (
-            "int4-trunk"
-            if any(w.dtype == jnp.int4 for w in qnet.weights)
-            else "int8"
-        )
+        stored_int4 = any(w.dtype == jnp.int4 for w in qnet.weights)
+        kind = "int4-trunk" if stored_int4 else "int8"
+        stored_bits = 4 if stored_int4 else 8
+        # hidden_bits=8 is the signature default, so only an EXPLICIT
+        # non-default request can be checked; silently scoring an int8
+        # checkpoint while the user believes the int4 trunk is active
+        # would misreport every downstream accuracy/speed comparison
+        if hidden_bits != 8 and hidden_bits != stored_bits:
+            raise ValueError(
+                f"hidden_bits={hidden_bits} requested but {path} is a "
+                f"pre-quantized {kind} checkpoint (stored bits markers say "
+                f"{stored_bits}); quantization happened at save time — "
+                "re-quantize from the float binary model to change the "
+                "trunk width"
+            )
         return qnet, f"{dims} ({kind} checkpoint)"
     from ..formats.binary import read_model
     from ..models.feedforward import from_raw

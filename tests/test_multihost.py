@@ -149,6 +149,33 @@ def test_tensor_parallel_across_processes(tmp_path):
     )
 
 
+@pytest.mark.slow
+def test_multiprocess_lazy_context_matches_single_process(tmp_path):
+    """LazyContext over a 2-process pod (VERDICT r3 #7 — the one reference
+    API surface, QuantizedDnn.java:72-107, a pod deployment couldn't reach):
+    per-frame posteriors from the coordinator-side shim must equal the
+    single-process LazyContext on identical inputs."""
+    _run_workers(tmp_path, "lazy")
+    data = np.load(tmp_path / "lazy_mh.npz")
+
+    import jax
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    qnet = quantize_net(random_net(jax.random.PRNGKey(5), 32, [64, 64], 32))
+    sc = Scorer(qnet, EngineConfig(backend="xla"))
+    n = data["frames"].shape[0]
+    ctx = sc.new_lazy_context(n)
+    ctx.calculate_until_output(data["frames"])
+    want = np.stack(
+        [ctx.calculate_for_output_nodes(data["masks"][i]) for i in range(n)]
+    )
+    np.testing.assert_allclose(data["posts"], want, atol=1e-5)
+
+
 def test_watchdog_first_of_kind_key_allowance():
     """_with_watchdog gives every FIRST-OF-ITS-KIND (program, shape) key
     the larger first_call_timeout_s (jit compiles are per program and
@@ -170,12 +197,13 @@ def test_watchdog_first_of_kind_key_allowance():
         heartbeat_s=0, call_timeout_s=0.5, first_call_timeout_s=5.0,
     )
 
-    def slow():
+    def slow(locked):
+        locked.set()  # "lock acquired": the timed portion starts here
         time.sleep(1.2)  # beyond call_timeout_s, inside first_call allowance
         return 42
 
     assert sc._with_watchdog(slow, ("score", 16, 32)) == 42  # cold: allowed
-    assert sc._with_watchdog(lambda: 7, ("score", 16, 32)) == 7
+    assert sc._with_watchdog(lambda locked: 7, ("score", 16, 32)) == 7
     with pytest.raises(RuntimeError, match="did not complete"):
         sc._with_watchdog(slow, ("score", 16, 32))  # warm: steady timeout
     assert sc._closed  # watchdog expiry closes the scorer
@@ -186,3 +214,64 @@ def test_watchdog_first_of_kind_key_allowance():
         heartbeat_s=0, call_timeout_s=0.5, first_call_timeout_s=5.0,
     )
     assert sc2._with_watchdog(slow, ("masked", 16, 32, 64)) == 42
+
+
+def test_watchdog_clock_excludes_lock_queueing():
+    """ADVICE r3 (medium): time spent queued behind another in-flight call
+    (waiting for _bcast_lock) must NOT count toward the steady-state
+    timeout — only the in-lock portion is timed.  A healthy call queued
+    for longer than call_timeout_s behind another healthy call must
+    succeed, and a call queued when the pod is declared dead must fail
+    fast with the 'queued' error instead of waiting out its own timer."""
+    import threading
+    import time
+
+    import jax
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.parallel.mesh import make_mesh
+    from fastdnn_tpu.parallel.service import MultiHostScorer
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    qnet = quantize_net(random_net(jax.random.PRNGKey(6), 32, [64], 64))
+    sc = MultiHostScorer(
+        qnet, EngineConfig(backend="xla"), make_mesh(),
+        heartbeat_s=0, call_timeout_s=0.5, first_call_timeout_s=0.5,
+    )
+
+    gate = threading.Lock()  # stands in for a held _bcast_lock
+    gate.acquire()
+
+    def queued(locked):
+        with gate:  # blocks ~3x call_timeout_s before "acquiring the lock"
+            locked.set()
+            return 11
+
+    box = []
+    t = threading.Thread(
+        target=lambda: box.append(sc._with_watchdog(queued, ("score", 1, 1)))
+    )
+    t.start()
+    time.sleep(1.5)  # hold the gate well past call_timeout_s
+    gate.release()
+    t.join(10)
+    assert box == [11]  # queueing did not trip the watchdog
+
+    # closed-while-queued: fail fast, do not wait out the timer
+    gate.acquire()
+    errs = []
+
+    def call_into_closed():
+        try:
+            sc._with_watchdog(queued, ("score", 1, 1))
+        except RuntimeError as e:
+            errs.append(str(e))
+
+    t2 = threading.Thread(target=call_into_closed)
+    t2.start()
+    time.sleep(0.3)
+    sc._closed = True  # pod declared dead by the call holding the lock
+    t2.join(10)
+    gate.release()
+    assert errs and "queued" in errs[0]
