@@ -106,6 +106,12 @@ class EngineConfig:
     #: frame counts are padded up to a multiple of this before jit so that
     #: streams of utterances reuse a small set of compiled shapes.
     frame_bucket: int = 128
+    #: consult the measured block-size registry (fastdnn_tpu/tuned.json,
+    #: written by tools/autotune.py --commit) at Scorer construction: block
+    #: knobs left at their hand defaults are replaced by the recorded best
+    #: for this (net topology, device kind); explicitly-set knobs always
+    #: win.  See fastdnn_tpu/tuning.py for the lookup policy.
+    autotuned: bool = True
     #: Pallas block size over the frame axis (trace-tuned on v5e)
     block_frames: int = 1024
     #: Pallas node-axis block for hidden layers (trace-tuned on v5e:

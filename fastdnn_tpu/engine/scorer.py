@@ -404,6 +404,14 @@ class Scorer:
         self.config = config or EngineConfig()
         self.mesh = mesh
         self._backend = self.config.resolve_backend(_default_platform())
+        if self._backend == "pallas" and self.config.autotuned:
+            from ..tuning import apply_tuned
+
+            # measured block sizes for this (net topology, device kind)
+            # replace hand-default block knobs; explicit knobs win
+            self.config = apply_tuned(
+                self.config, net, jax.devices()[0].device_kind
+            )
         self._output_dim = net.output_dim
         self._input_dim = net.input_dim
         if self.config.lazy_mode == "block_sparse" and not (

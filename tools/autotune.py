@@ -70,6 +70,12 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--out", default=None, help="also write the JSON to a file")
+    p.add_argument(
+        "--commit", action="store_true",
+        help="merge the winning knobs into the package registry "
+        "(fastdnn_tpu/tuned.json) so Scorer picks them up as defaults for "
+        "this (net, device kind); refuses on non-TPU platforms",
+    )
     args = p.parse_args(argv)
 
     from fastdnn_tpu.config import EngineConfig, honor_jax_platforms_env
@@ -142,6 +148,7 @@ def main(argv=None) -> int:
         "net": f"{args.input_dim}-{args.layers}x{args.hidden}-{args.out_dim}",
         "batch": args.batch,
         "platform": jax.devices()[0].platform,
+        "device_kind": jax.devices()[0].device_kind,
         "default_ms": round(base_ms, 3),
         "best_ms": round(best_ms, 3),
         "speedup_vs_default": round(base_ms / max(best_ms, 1e-9), 3),
@@ -152,6 +159,15 @@ def main(argv=None) -> int:
     if args.out:
         with open(args.out, "w") as f:
             f.write(line + "\n")
+    if args.commit:
+        if result["platform"] != "tpu":
+            print("--commit refused: interpret-mode times are meaningless",
+                  flush=True)
+            return 1
+        from fastdnn_tpu.tuning import merge_entry, registry_path
+
+        merge_entry(result)
+        print(f"committed to {registry_path()}", flush=True)
     return 0
 
 
