@@ -16,6 +16,8 @@ Usage:
     python tools/profile.py variants   # full-net: plain/fused/fast x precision
     python tools/profile.py stages     # per-stage: input / hidden / output
     python tools/profile.py dots       # raw s8xs8 vs bf16 matmul rate
+    python tools/profile.py serving    # cheap-precision serving knobs: time+accuracy
+    python tools/profile.py stack      # per-layer vs whole-trunk hidden kernels vs B
 
 `trace` is the instrument of record: jax.profiler works through the relay
 and its per-kernel device times are exact.  The wall-clock subcommands
@@ -99,6 +101,8 @@ def cmd_variants():
         (False, "high", False),
         (True, "high", False),
         (True, "high", True),
+        (True, "default", False),
+        (True, "default", True),
     ]:
         t = chained(fused, prec, fast)
         print(
@@ -469,6 +473,117 @@ def cmd_int4(interpret=False):
                                 "ms_int4": round(ms4, 3), "oracle_gate": gate}}))
 
 
+def cmd_serving(interpret=False):
+    """Serving-config verdict (VERDICT r3 #6): the two cheap-precision knobs
+    (input_precision="default" 1-pass bf16 input dot, fast_posteriors=True
+    bfloat16 posterior write) vs the parity default — device time AND
+    accuracy in one process so relay drift cancels.  Accuracy is gated two
+    ways: the reference's own float-oracle bound (FuncTest.java:70-72,
+    summed |d| per node over 100 frames <= 0.1) and max |dp| / argmax
+    agreement vs the parity config."""
+    import json as _json
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.engine.scorer import Scorer
+    from fastdnn_tpu.models import feedforward as ff
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    net = ff.random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
+    qnet = quantize_net(net, cutoff=3.0)
+    configs = {
+        "parity": EngineConfig(backend="pallas", interpret=interpret),
+        "fast_out": EngineConfig(
+            backend="pallas", fast_posteriors=True, interpret=interpret
+        ),
+        "fast_in": EngineConfig(
+            backend="pallas", input_precision="default", interpret=interpret
+        ),
+        "serving": EngineConfig(
+            backend="pallas",
+            input_precision="default",
+            fast_posteriors=True,
+            interpret=interpret,
+        ),
+    }
+    scorers = {k: Scorer(qnet, c) for k, c in configs.items()}
+
+    f100 = np.random.default_rng(3).standard_normal((100, 432)).astype(np.float32)
+    fl = np.asarray(ff.forward(net, jnp.asarray(f100)))
+    p_parity = np.asarray(scorers["parity"].score(f100), np.float32)
+    acc = {}
+    for k, sc in scorers.items():
+        p = np.asarray(sc.score(f100), np.float32)
+        acc[k] = {
+            "oracle_gate": round(float(np.abs(p - fl).sum(axis=0).max()), 4),
+            "max_dp_vs_parity": float(f"{np.abs(p - p_parity).max():.3e}"),
+            "argmax_agree": float((p.argmax(1) == p_parity.argmax(1)).mean()),
+        }
+
+    frames = np.random.default_rng(0).standard_normal((B, 432)).astype(np.float32)
+    out = {}
+    for k, sc in scorers.items():
+        padded, _ = sc._prepare(frames)
+        ms = _device_total_ms(lambda sc=sc, x=padded: sc._score(sc.net, x))
+        out[k] = {"ms": round(ms, 3), **acc[k]}
+        print(
+            f"{k:8s} {ms:7.3f} ms/{B}  oracle {acc[k]['oracle_gate']:.4f}  "
+            f"max|dp| {acc[k]['max_dp_vs_parity']:.2e}  "
+            f"argmax {acc[k]['argmax_agree']:.4f}",
+            flush=True,
+        )
+    print(_json.dumps({"serving_config": {"batch": B, **out}}))
+
+
+def cmd_stack(interpret=False):
+    """Small-batch hidden-path verdict: per-layer kernels vs the whole-trunk
+    fused_hidden_stack across B — re-measures the round-2 '31% faster hidden
+    time at B=128' claim that set stack_hidden_max_frames=2048, so the
+    routing threshold rests on a current-round measurement."""
+    import json as _json
+
+    from fastdnn_tpu.engine.scorer import build_hidden_stack, score_fn
+
+    qnet, _ = _flagship()
+    hstack = build_hidden_stack(qnet)
+    rows = {}
+    for b in (128, 512, 2048, 8192):
+        frames = jax.block_until_ready(
+            jax.random.normal(jax.random.PRNGKey(1), (b, qnet.input_dim), jnp.float32)
+        )
+
+        def run(stack, x=frames):
+            f = jax.jit(
+                lambda y: score_fn(
+                    qnet,
+                    y,
+                    backend="pallas",
+                    out_dim=8000,
+                    fused_softmax=True,
+                    interpret=interpret,
+                    hstack=hstack if stack else None,
+                    stack_max_frames=1 << 30 if stack else 0,
+                )
+            )
+            return _device_total_ms(lambda: f(x))
+
+        per_layer = run(False)
+        try:
+            stacked = run(True)
+        except Exception as e:  # e.g. scoped-VMEM overflow at large B
+            rows[b] = {"per_layer_ms": round(per_layer, 3),
+                       "stack_error": type(e).__name__}
+            print(f"B={b:5d}  per-layer {per_layer:7.3f} ms  stack FAILED "
+                  f"({type(e).__name__})", flush=True)
+            continue
+        rows[b] = {"per_layer_ms": round(per_layer, 3), "stack_ms": round(stacked, 3)}
+        print(
+            f"B={b:5d}  per-layer {per_layer:7.3f} ms  stack {stacked:7.3f} ms  "
+            f"({per_layer / max(stacked, 1e-9):.2f}x)",
+            flush=True,
+        )
+    print(_json.dumps({"hidden_stack": rows}))
+
+
 def cmd_trace():
     _trace_scorer(_flagship_scorer(), "flagship full pass")
 
@@ -509,4 +624,6 @@ if __name__ == "__main__":
         "gathered": cmd_gathered,
         "blocksparse": cmd_blocksparse,
         "int4": cmd_int4,
+        "serving": cmd_serving,
+        "stack": cmd_stack,
     }[what]()
