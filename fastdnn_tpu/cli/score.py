@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--cutoff", type=float, default=3.0, help="weight quantization cutoff")
     p.add_argument(
-        "--hidden-bits", type=int, default=8, choices=[8, 4],
+        "--hidden-bits", type=int, default=None, choices=[8, 4],
         help="hidden-trunk weight width: 4 halves weight bytes (output "
         "layer stays int8); see docs/architecture.md 'int4 hidden trunk'",
     )

@@ -146,7 +146,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8477)
     p.add_argument("--cutoff", type=float, default=3.0)
-    p.add_argument("--hidden-bits", type=int, default=8, choices=[8, 4],
+    p.add_argument("--hidden-bits", type=int, default=None, choices=[8, 4],
                    help="4 = int4 hidden trunk (output layer stays int8)")
     p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--max-batch-frames", type=int, default=8192)
@@ -212,7 +212,7 @@ def build_scorer(args):
         )
     qnet, topology = load_quantized(
         args.model, cutoff=args.cutoff,
-        hidden_bits=getattr(args, "hidden_bits", 8),
+        hidden_bits=getattr(args, "hidden_bits", None),
     )
     cfg = EngineConfig(
         backend=args.backend, lazy_mode=getattr(args, "lazy_mode", "auto")

@@ -404,11 +404,18 @@ class Scorer:
         self.config = config or EngineConfig()
         self.mesh = mesh
         self._backend = self.config.resolve_backend(_default_platform())
-        if self._backend == "pallas" and self.config.autotuned:
+        if (
+            self._backend == "pallas"
+            and self.config.autotuned
+            and jax.process_count() == 1
+        ):
             from ..tuning import apply_tuned
 
             # measured block sizes for this (net topology, device kind)
-            # replace hand-default block knobs; explicit knobs win
+            # replace hand-default block knobs; explicit knobs win.  Skipped
+            # on multi-process pods: the registry file is per-host state, and
+            # hosts resolving different knobs would compile mismatched
+            # lockstep programs — pod deployments set block knobs explicitly.
             self.config = apply_tuned(
                 self.config, net, jax.devices()[0].device_kind
             )

@@ -252,17 +252,17 @@ class MultiHostScorer(Scorer):
             # the KV client has no infinite timeout, so retry the blocking
             # get indefinitely — a coordinator stalled between the header
             # broadcast and key_value_set must not desynchronize the pod
-            import time as _time
-
             while True:
-                t0 = _time.monotonic()
                 try:
                     raw = client.blocking_key_value_get_bytes(key, 600_000)
                     break
-                except Exception:
-                    # an instant failure is not a timeout (client torn down,
-                    # bad key): re-raise instead of spinning forever
-                    if _time.monotonic() - t0 < 1.0:
+                except Exception as e:
+                    # retry only a genuine deadline expiry; anything else
+                    # (coordination service torn down, UNAVAILABLE after a
+                    # coordinator crash, bad key) must surface loudly so
+                    # worker_loop's log-and-re-raise contract fires instead
+                    # of wedging the worker in a silent retry loop
+                    if "DEADLINE" not in str(e).upper():
                         raise
                     continue
         else:
@@ -408,14 +408,27 @@ class MultiHostScorer(Scorer):
     def _heartbeat(self, interval: float) -> None:
         import time
 
+        def beat(locked=None):
+            with self._bcast_lock:
+                if locked is not None:
+                    locked.set()  # watchdog clock starts here
+                if self._closed:
+                    return
+                _broadcast(np.array([OP_NOOP, 0, 0, 0, 0], np.int32))
+
         while not self._closed:
             time.sleep(interval)
             if self._closed:
                 return
-            with self._bcast_lock:
-                if self._closed:
-                    return
-                _broadcast(np.array([OP_NOOP, 0, 0, 0, 0], np.int32))
+            try:
+                # the beat runs under the SAME call watchdog as scorer calls:
+                # if a worker dies while the heartbeat holds _bcast_lock, the
+                # broadcast would hang the lock forever and every queued call
+                # would spin in its untimed queueing phase — the watchdog
+                # declares the pod dead (_closed) so they fail fast instead
+                self._with_watchdog(beat, ("heartbeat",))
+            except Exception:
+                return  # pod declared dead (by this beat or a queued call)
 
     def close(self) -> None:
         """Coordinator: release the workers (broadcast stop)."""

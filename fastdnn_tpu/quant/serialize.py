@@ -50,7 +50,7 @@ def save_qnet(qnet: QuantizedNet, path) -> None:
         np.savez(f, **arrays)
 
 
-def load_quantized(path, cutoff: float = 3.0, hidden_bits: int = 8):
+def load_quantized(path, cutoff: float = 3.0, hidden_bits: "int | None" = None):
     """Load EITHER model artifact the CLIs accept:
 
       *.npz       — a pre-quantized QuantizedNet checkpoint (save_qnet):
@@ -59,6 +59,12 @@ def load_quantized(path, cutoff: float = 3.0, hidden_bits: int = 8):
                     load with `cutoff` (what the reference does every load,
                     /root/reference/src/cpp/jni_dnn.cc:7-18); hidden_bits=4
                     selects the int4 hidden trunk
+
+    hidden_bits=None (the default) means "whatever the artifact stores" for
+    a checkpoint and int8 for a float model; an EXPLICIT 4 or 8 is a hard
+    requirement, raising when a checkpoint's stored bits don't match —
+    silently scoring the other trunk width would misreport every downstream
+    accuracy/speed comparison.
 
     Returns (qnet, description string for the CLI topology banner).
     """
@@ -77,11 +83,7 @@ def load_quantized(path, cutoff: float = 3.0, hidden_bits: int = 8):
         stored_int4 = any(w.dtype == jnp.int4 for w in qnet.weights)
         kind = "int4-trunk" if stored_int4 else "int8"
         stored_bits = 4 if stored_int4 else 8
-        # hidden_bits=8 is the signature default, so only an EXPLICIT
-        # non-default request can be checked; silently scoring an int8
-        # checkpoint while the user believes the int4 trunk is active
-        # would misreport every downstream accuracy/speed comparison
-        if hidden_bits != 8 and hidden_bits != stored_bits:
+        if hidden_bits is not None and hidden_bits != stored_bits:
             raise ValueError(
                 f"hidden_bits={hidden_bits} requested but {path} is a "
                 f"pre-quantized {kind} checkpoint (stored bits markers say "
@@ -96,7 +98,9 @@ def load_quantized(path, cutoff: float = 3.0, hidden_bits: int = 8):
     from .quantize import quantize_net
 
     raw = read_model(path)
-    qnet = quantize_net(from_raw(raw), cutoff=cutoff, hidden_bits=hidden_bits)
+    qnet = quantize_net(
+        from_raw(raw), cutoff=cutoff, hidden_bits=hidden_bits or 8
+    )
     return qnet, raw.topology()
 
 

@@ -275,3 +275,51 @@ def test_watchdog_clock_excludes_lock_queueing():
     t2.join(10)
     gate.release()
     assert errs and "queued" in errs[0]
+
+
+def test_heartbeat_hang_declares_pod_dead(monkeypatch):
+    """A worker dying while the HEARTBEAT holds _bcast_lock must not wedge
+    the pod silently: the beat runs under the same call watchdog as scorer
+    calls, so a hung no-op broadcast declares the pod dead (_closed) and a
+    call queued behind the held lock fails fast with the 'queued' error
+    instead of spinning forever in its untimed queueing phase."""
+    import threading
+    import time
+
+    import jax
+
+    from fastdnn_tpu.config import EngineConfig
+    from fastdnn_tpu.models.feedforward import random_net
+    from fastdnn_tpu.parallel import service
+    from fastdnn_tpu.parallel.mesh import make_mesh
+    from fastdnn_tpu.quant.quantize import quantize_net
+
+    qnet = quantize_net(random_net(jax.random.PRNGKey(6), 32, [64], 64))
+    sc = service.MultiHostScorer(
+        qnet, EngineConfig(backend="xla"), make_mesh(),
+        heartbeat_s=0, call_timeout_s=0.3, first_call_timeout_s=0.5,
+    )
+    # single-process scorers skip the multi-only setup; graft the pieces
+    # the heartbeat needs so it can be driven directly
+    sc._bcast_lock = threading.Lock()
+    hang = threading.Event()
+    monkeypatch.setattr(service, "_broadcast", lambda arr: hang.wait())
+
+    hb = threading.Thread(target=sc._heartbeat, args=(0.05,), daemon=True)
+    hb.start()
+
+    deadline = time.monotonic() + 10
+    while not sc._closed and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert sc._closed  # the hung beat tripped the watchdog
+
+    # a call queued behind the (still-held) lock fails fast
+    def queued(locked):
+        with sc._bcast_lock:
+            locked.set()
+            return 1
+
+    with pytest.raises(RuntimeError, match="queued|closed"):
+        sc._with_watchdog(queued, ("score", 1, 1))
+    hang.set()  # release the abandoned broadcast thread
+    hb.join(5)

@@ -4,6 +4,7 @@ weight clamping, and the zero-point colsum identity."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fastdnn_tpu.config import ACTIVATION_SCALE, WEIGHT_SCALE
 from fastdnn_tpu.models.feedforward import random_net
@@ -243,6 +244,25 @@ class TestInt4Trunk:
             np.testing.assert_array_equal(
                 np.asarray(a).astype(np.int8), np.asarray(b).astype(np.int8)
             )
+
+    def test_checkpoint_explicit_bits_must_match(self, small_net, tmp_path):
+        """An EXPLICIT hidden_bits request on a pre-quantized checkpoint is
+        a hard requirement in BOTH directions (8-on-int4 as much as
+        4-on-int8): quantization happened at save time, so silently scoring
+        the other trunk width would misreport every downstream comparison.
+        hidden_bits=None (the CLI default) accepts whatever is stored."""
+        from fastdnn_tpu.quant.serialize import load_quantized, save_qnet
+
+        p8, p4 = tmp_path / "m8.npz", tmp_path / "m4.npz"
+        save_qnet(quantize_net(small_net), p8)
+        save_qnet(quantize_net(small_net, hidden_bits=4), p4)
+        with pytest.raises(ValueError, match="stored bits"):
+            load_quantized(str(p4), hidden_bits=8)
+        with pytest.raises(ValueError, match="stored bits"):
+            load_quantized(str(p8), hidden_bits=4)
+        # explicit-and-matching and default both load fine
+        assert "int4" in load_quantized(str(p4), hidden_bits=4)[1]
+        assert "int8" in load_quantized(str(p8))[1]
 
     def test_padding_preserves_dtype(self, small_net):
         from fastdnn_tpu.quant.quantize import pad_qnet_for_tpu

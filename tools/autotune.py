@@ -56,6 +56,11 @@ def _build(qnet, bf, bnh, bfo, interpret):
         qnet,
         EngineConfig(
             backend="pallas", interpret=interpret,
+            # autotuned=False: the sweep must measure exactly the knobs it
+            # says it does — a previously committed registry entry would
+            # otherwise silently overwrite knobs left at class defaults
+            # (including the 'defaults' baseline itself)
+            autotuned=False,
             block_frames=bf, block_nodes_hidden=bnh, block_frames_out=bfo,
         ),
     )
@@ -97,8 +102,34 @@ def main(argv=None) -> int:
         (args.batch, qnet.input_dim)
     ).astype(np.float32)
 
+    probe = frames[: min(256, args.batch)]
+    want_probe = None  # default-config posteriors; set on the baseline run
+
     def measure(bf, bnh, bfo):
-        sc = _build(qnet, bf, bnh, bfo, interpret)
+        """Device time for one knob combination — gated on correctness.
+
+        Block sizes are pure scheduling knobs (the kernels compute identical
+        results for every legal tiling), so before a candidate may win it
+        must reproduce the default config's posteriors on a probe batch
+        within the suite's 3e-5 resident-softmax bound; a tiling that trips
+        a kernel edge is disqualified here rather than committed as an
+        engine default behind a green sweep."""
+        nonlocal want_probe
+        try:
+            sc = _build(qnet, bf, bnh, bfo, interpret)
+            got_probe = sc.score(probe)
+        except Exception as e:  # e.g. a VMEM overflow at this tiling
+            print(f"  knobs ({bf},{bnh},{bfo}) disqualified: "
+                  f"{type(e).__name__}", flush=True)
+            return float("inf")
+        if want_probe is None:
+            want_probe = got_probe
+        else:
+            d = float(np.abs(got_probe - want_probe).max())
+            if d > 3e-5:
+                print(f"  knobs ({bf},{bnh},{bfo}) disqualified: posteriors "
+                      f"diverge by {d}", flush=True)
+                return float("inf")
         padded, _ = sc._prepare(frames)
         return _device_total_ms(lambda: sc._score(sc.net, padded), reps=args.reps)
 
