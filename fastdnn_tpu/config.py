@@ -102,6 +102,16 @@ class EngineConfig:
     #: activations by ~1e-2, i.e. flip a few sigmoid counts.
     input_precision: Literal["highest", "high", "default"] = "high"
 
+    #: store an int4 hidden trunk as two-nibbles-per-byte int8 and unpack
+    #: in-kernel (quant.quantize.pack_int4_trunk) instead of shipping
+    #: jnp.int4 arrays to the compiler.  Bitwise-identical math and the
+    #: same halved HBM weight stream, but zero reliance on native s4
+    #: lowering — the contingency for toolchains where `jnp.dot(s8, s4)`
+    #: fails on real Mosaic (VERDICT r3 #3).  No effect on int8 nets.
+    #: Note: the packed trunk uses per-layer kernels (the whole-trunk
+    #: stack kernel needs square weight matrices).
+    int4_packed: bool = False
+
     # Batching -------------------------------------------------------------
     #: frame counts are padded up to a multiple of this before jit so that
     #: streams of utterances reuse a small set of compiled shapes.

@@ -19,6 +19,7 @@ def hidden_layer_step(
     interpret: bool = False,
     block_frames: int = 1024,
     block_nodes: int = 1024,
+    packed: bool = False,
 ) -> jax.Array:
     return pk.fused_hidden_layer(
         acts_i8,
@@ -29,6 +30,7 @@ def hidden_layer_step(
         block_frames=block_frames,
         block_nodes=block_nodes,
         interpret=interpret,
+        packed=packed,
     )
 
 

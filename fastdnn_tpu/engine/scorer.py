@@ -100,6 +100,11 @@ def hidden_forward(
         if hidden_blocks is not None:
             bkw = dict(block_frames=hidden_blocks[0], block_nodes=hidden_blocks[1])
         for i in range(len(net.weights) - 1):
+            # packed-nibble int4 weights are [K/2, N] (pack_int4_trunk)
+            packed = (
+                net.packed_int4
+                and net.weights[i].shape[0] * 2 == acts.shape[-1]
+            )
             acts = pallas_backend.hidden_layer_step(
                 acts,
                 net.weights[i],
@@ -107,11 +112,15 @@ def hidden_forward(
                 net.inv_scales[i],
                 net.biases[i],
                 interpret=interpret,
+                packed=packed,
                 **bkw,
             )
     else:
         for i in range(len(net.weights) - 1):
-            acts = xops.hidden_layer_step(
+            step = xops.hidden_layer_step
+            if net.packed_int4 and net.weights[i].shape[0] * 2 == acts.shape[-1]:
+                step = xops.hidden_layer_step_packed
+            acts = step(
                 acts, net.weights[i], net.colsum128[i], net.inv_scales[i], net.biases[i]
             )
     return acts
@@ -455,6 +464,12 @@ class Scorer:
 
             # XLA backend only needs even model-axis shards
             net = pad_qnet_for_tpu(net, lanes=1, out_lanes=model_size)
+        if self.config.int4_packed:
+            from ..quant.quantize import pack_int4_trunk
+
+            # AFTER padding: packing first would split the nibble halves
+            # at the wrong (unpadded) K
+            net = pack_int4_trunk(net)
         if mesh is not None:
             from ..parallel.mesh import shard_qnet
 
@@ -503,6 +518,7 @@ class Scorer:
                 out_blocks=kw["out_blocks"],
                 true_output_dim=net.true_output_dim,
                 block_sparse=self.config.lazy_mode == "block_sparse",
+                packed_int4=net.packed_int4,
             )
             self._gathered = None
             self._gather_capacity = 0

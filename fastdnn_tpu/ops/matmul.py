@@ -71,6 +71,28 @@ def hidden_layer_step(acts_i8, w_i8, colsum128_i32, inv_scale_f32, bias_f32):
     return quantized_sigmoid_shifted_i8(lin)
 
 
+def unpack_int4_pair(packed_i8):
+    """[K/2, N] two-nibbles-per-byte int8 -> (lo, hi) int8 weight halves.
+
+    Inverse of quant.quantize.pack_int4_trunk: lo[k] is weight row k, hi[k]
+    is weight row K/2+k; arithmetic shifts sign-extend the s4 nibbles."""
+    lo = (packed_i8 << 4) >> 4
+    hi = packed_i8 >> 4
+    return lo, hi
+
+
+def hidden_layer_step_packed(acts_i8, w_packed_i8, colsum128_i32,
+                             inv_scale_f32, bias_f32):
+    """hidden_layer_step for a pack_int4_trunk weight matrix: unpack the
+    nibbles and run two s8 x s8 dots over the activation halves — exact
+    (integer) and bitwise-identical to the unpacked int4 layer."""
+    kk = w_packed_i8.shape[0]
+    lo, hi = unpack_int4_pair(w_packed_i8)
+    acc = int8_matmul(acts_i8[:, :kk], lo) + int8_matmul(acts_i8[:, kk:], hi)
+    lin = dequantize(acc, colsum128_i32, inv_scale_f32, bias_f32)
+    return quantized_sigmoid_shifted_i8(lin)
+
+
 def output_logits(acts_i8, w_i8, colsum128_i32, inv_scale_f32, bias_f32):
     """Output layer linear activations (pre-softmax), f32 [B, out]."""
     acc = int8_matmul(acts_i8, w_i8)

@@ -84,6 +84,22 @@ def _hidden_kernel(x_ref, w_ref, colsum_ref, bias_ref, inv_scale_ref, out_ref):
     out_ref[:] = _quantized_sigmoid_shifted(lin)
 
 
+def _hidden_kernel_packed(x_ref, w_ref, colsum_ref, bias_ref, inv_scale_ref, out_ref):
+    """_hidden_kernel for pack_int4_trunk weights: w_ref is [K/2, bn] int8
+    carrying two s4 nibbles per byte (quant.quantize.pack_int4_trunk).  Two
+    arithmetic shifts recover the halves on the VPU (amortized: ~1M ops per
+    ~2G-MAC step) and two plain s8 x s8 MXU dots over the activation halves
+    replace the one s4 dot — no jnp.int4 anywhere in the compiled kernel."""
+    kk = w_ref.shape[0]
+    packed = w_ref[:]
+    lo = (packed << 4) >> 4
+    hi = packed >> 4
+    acc = jnp.dot(x_ref[:, :kk], lo, preferred_element_type=jnp.int32)
+    acc += jnp.dot(x_ref[:, kk:], hi, preferred_element_type=jnp.int32)
+    lin = (acc + colsum_ref[:]).astype(jnp.float32) * inv_scale_ref[0, 0] + bias_ref[:]
+    out_ref[:] = _quantized_sigmoid_shifted(lin)
+
+
 def _logits_kernel(x_ref, w_ref, colsum_ref, bias_ref, inv_scale_ref, out_ref):
     acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
     out_ref[:] = (acc + colsum_ref[:]).astype(jnp.float32) * inv_scale_ref[0, 0] + bias_ref[:]
@@ -105,25 +121,32 @@ def _check_shapes(x, w, colsum, bias, block_frames, block_nodes):
         )
 
 
-def _layer_call(kernel, out_dtype, x, w, colsum, bias, inv_scale, *, block_frames, block_nodes, interpret):
+def _layer_call(kernel, out_dtype, x, w, colsum, bias, inv_scale, *, block_frames, block_nodes, interpret, packed=False):
     b, k = x.shape
     n = w.shape[1]
+    kw = w.shape[0]  # = k, or k/2 for packed-nibble int4 weights
+    if packed and kw * 2 != k:
+        raise ValueError(
+            f"packed weights must be [K/2, N]: K={k} but packed rows={kw}"
+        )
     bm = min(block_frames, b)
     while b % bm:  # engine buckets frames to x128, so this terminates at 128
         bm //= 2
     bn = min(block_nodes, n)
     while n % bn:  # node dims are padded to x128 (pad_qnet_for_tpu)
         bn //= 2
-    _check_shapes(x, w, colsum, bias, bm, bn)
+    # packed weights check as their logical [K, N] shape
+    w_logical = w if not packed else jax.ShapeDtypeStruct((k, n), w.dtype)
+    _check_shapes(x, w_logical, colsum, bias, bm, bn)
     grid = (n // bn, b // bm)  # frames iterate fastest: weight block reused
     flops = 2 * b * n * k
-    bytes_accessed = b * k + k * n + b * n * (1 if out_dtype == jnp.int8 else 4) + 4 * n * 2
+    bytes_accessed = b * k + kw * n + b * n * (1 if out_dtype == jnp.int8 else 4) + 4 * n * 2
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kw, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
@@ -137,7 +160,9 @@ def _layer_call(kernel, out_dtype, x, w, colsum, bias, inv_scale, *, block_frame
     )(x, w, colsum.reshape(1, n), bias.reshape(1, n), inv_scale.reshape(1, 1))
 
 
-@functools.partial(jax.jit, static_argnames=("block_frames", "block_nodes", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_frames", "block_nodes", "interpret", "packed")
+)
 def fused_hidden_layer(
     acts_i8: jax.Array,
     w_i8: jax.Array,
@@ -148,11 +173,14 @@ def fused_hidden_layer(
     block_frames: int = 1024,
     block_nodes: int = 1024,
     interpret: bool = False,
+    packed: bool = False,
 ) -> jax.Array:
     """One quantized hidden layer on the MXU: int8 [B,K] x int8 [K,N] ->
-    shifted-int8 activations [B,N]."""
+    shifted-int8 activations [B,N].  packed=True consumes a
+    pack_int4_trunk weight matrix ([K/2, N] two-nibbles-per-byte int8,
+    unpacked in VMEM — same math, half the HBM weight bytes, no jnp.int4)."""
     return _layer_call(
-        _hidden_kernel,
+        _hidden_kernel_packed if packed else _hidden_kernel,
         jnp.int8,
         acts_i8,
         w_i8,
@@ -162,6 +190,7 @@ def fused_hidden_layer(
         block_frames=block_frames,
         block_nodes=block_nodes,
         interpret=interpret,
+        packed=packed,
     )
 
 

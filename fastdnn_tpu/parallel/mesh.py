@@ -83,6 +83,7 @@ def qnet_shardings(mesh: Mesh):
             multipliers=tuple([rep] * n),
             # static metadata must match the net's treedef for in_shardings
             true_output_dim=qnet.true_output_dim,
+            packed_int4=qnet.packed_int4,
         )
 
     return build

@@ -54,7 +54,9 @@ from ..quant.quantize import QuantizedNet
 from .mesh import DATA_AXIS, MODEL_AXIS, frames_sharding, qnet_shardings
 
 
-def _net_spec(n_layers: int, true_output_dim: Optional[int]) -> QuantizedNet:
+def _net_spec(
+    n_layers: int, true_output_dim: Optional[int], packed_int4: bool = False
+) -> QuantizedNet:
     """shard_map PartitionSpecs for a QuantizedNet: hidden layers replicated,
     output layer sharded on the node dim over MODEL_AXIS."""
     return QuantizedNet(
@@ -67,6 +69,7 @@ def _net_spec(n_layers: int, true_output_dim: Optional[int]) -> QuantizedNet:
         multipliers=tuple([P()] * n_layers),
         # static metadata must match the net's treedef
         true_output_dim=true_output_dim,
+        packed_int4=packed_int4,
     )
 
 
@@ -202,6 +205,7 @@ def make_mesh_programs(
     out_blocks=None,
     true_output_dim: Optional[int] = None,
     block_sparse: bool = False,
+    packed_int4: bool = False,
 ):
     """Jitted shard_map programs for mesh-backed Scorers.
 
@@ -232,7 +236,7 @@ def make_mesh_programs(
             "logits for the exact cross-shard softmax; use model=1 or "
             "fast_posteriors=False"
         )
-    net_spec = _net_spec(n_layers, true_output_dim)
+    net_spec = _net_spec(n_layers, true_output_dim, packed_int4)
     fspec = P(DATA_AXIS, None)
     kw = dict(
         backend=backend,
@@ -392,7 +396,7 @@ def make_gspmd_scorer(
     _cache: dict = {}
 
     def _jitted(kind: str, qnet: QuantizedNet):
-        key = (kind, len(qnet.weights), qnet.true_output_dim)
+        key = (kind, len(qnet.weights), qnet.true_output_dim, qnet.packed_int4)
         if key not in _cache:
             net_sh = qnet_shardings(mesh)(qnet)
             if kind == "score":
@@ -467,7 +471,7 @@ def score_shard_map(
         # denominator by default (width == count for unpadded nets).
         out_dim = qnet.output_dim
     n_layers = len(qnet.weights)
-    net_spec = _net_spec(n_layers, qnet.true_output_dim)
+    net_spec = _net_spec(n_layers, qnet.true_output_dim, qnet.packed_int4)
     in_specs = [net_spec, P(DATA_AXIS, None)]
     args = [qnet, frames]
     if masks is not None:

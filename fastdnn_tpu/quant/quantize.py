@@ -76,6 +76,11 @@ class QuantizedNet:
     true_output_dim: int | None = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    #: int4 hidden weights stored as two-nibbles-per-byte int8 [K/2, N]
+    #: (pack_int4_trunk); kernels unpack in VMEM — see that function's doc
+    packed_int4: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def input_dim(self) -> int:
@@ -178,6 +183,45 @@ def quantize_net(
     )
 
 
+def pack_int4_trunk(qnet: QuantizedNet) -> QuantizedNet:
+    """Repack int4 hidden weights as two-nibbles-per-byte int8 [K/2, N].
+
+    The CONTINGENCY storage for the int4 trunk (EngineConfig.int4_packed):
+    where a toolchain does not lower `jnp.int4` operands natively, the same
+    s4 values ride as ordinary int8 bytes — row k of the low nibbles is
+    weight row k, row k of the high nibbles is weight row K/2+k — and the
+    consuming kernels unpack with two arithmetic shifts and run two plain
+    s8 x s8 MXU dots over the activation halves:
+
+        acc = x[:, :K/2] @ lo + x[:, K/2:] @ hi
+
+    Identical math (the nibbles ARE the s4 weights, colsum128/inv_scale
+    unchanged), half the HBM weight bytes, zero reliance on s4 support.
+    Apply AFTER pad_qnet_for_tpu (Scorer does this when the config flag is
+    set): packing first would make the pad land on packed rows and split
+    the halves at the wrong K.  Output layer (always int8) is untouched;
+    an all-int8 net passes through unchanged.
+    """
+    if qnet.packed_int4:
+        return qnet
+    weights = []
+    changed = False
+    for w in qnet.weights:
+        if w.dtype != jnp.int4:
+            weights.append(w)
+            continue
+        k = w.shape[0]
+        if k % 2:
+            raise ValueError(f"packed int4 needs an even K, got {k}")
+        w8 = w.astype(jnp.int8)
+        lo, hi = w8[: k // 2], w8[k // 2 :]
+        weights.append(((hi << 4) | (lo & 0xF)).astype(jnp.int8))
+        changed = True
+    if not changed:
+        return qnet
+    return dataclasses.replace(qnet, weights=tuple(weights), packed_int4=True)
+
+
 def _pad2(a: jax.Array, rows: int, cols: int) -> jax.Array:
     return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
 
@@ -199,6 +243,13 @@ def pad_qnet_for_tpu(
     `out_lanes`, so the output kernel can use wide node blocks (8000 senones
     -> 8192: +2.4% zero columns buys an efficient 1024-wide MXU tile).
     """
+
+    if qnet.packed_int4:
+        raise ValueError(
+            "pad before packing: zero-padding a packed-nibble weight matrix "
+            "would split the low/high halves at the wrong K (Scorer applies "
+            "pack_int4_trunk after pad_qnet_for_tpu)"
+        )
 
     def up(n: int, m: int = lanes) -> int:
         return -(-n // m) * m

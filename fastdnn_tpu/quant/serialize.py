@@ -23,6 +23,12 @@ FORMAT_VERSION = 1
 
 def save_qnet(qnet: QuantizedNet, path) -> None:
     """Persist a QuantizedNet to `path` (.npz)."""
+    if qnet.packed_int4:
+        raise ValueError(
+            "save the unpacked net: packed-nibble weights would persist as "
+            "plain int8 and load with the wrong meaning (packing is a "
+            "runtime storage choice — EngineConfig.int4_packed)"
+        )
     n = len(qnet.weights)
     arrays = {
         "format_version": np.int32(FORMAT_VERSION),

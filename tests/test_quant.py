@@ -245,6 +245,73 @@ class TestInt4Trunk:
                 np.asarray(a).astype(np.int8), np.asarray(b).astype(np.int8)
             )
 
+    def test_packed_trunk_is_pure_storage(self, small_net):
+        """EngineConfig.int4_packed (the no-native-s4 contingency,
+        quant.quantize.pack_int4_trunk): nibble-packed storage + in-kernel
+        unpack is bitwise-identical to the jnp.int4 trunk — hidden
+        activations equal exactly (integer math), posteriors equal across
+        xla/pallas-interpret at the suite's bound."""
+        from fastdnn_tpu.config import EngineConfig
+        from fastdnn_tpu.engine.scorer import Scorer
+
+        q4 = quantize_net(small_net, hidden_bits=4)
+        rng = np.random.default_rng(9)
+        frames = rng.standard_normal((64, q4.input_dim)).astype(np.float32)
+
+        plain = Scorer(q4, EngineConfig(backend="xla"))
+        packed = Scorer(q4, EngineConfig(backend="xla", int4_packed=True))
+        assert packed.net.packed_int4 and not plain.net.packed_int4
+        # weights really are half the rows (two nibbles per byte)
+        for wp, w in zip(packed.net.weights[:-1], plain.net.weights[:-1]):
+            assert wp.dtype == jnp.int8 and wp.shape[0] * 2 == w.shape[0]
+        np.testing.assert_array_equal(plain.score(frames), packed.score(frames))
+
+        pallas_packed = Scorer(
+            q4, EngineConfig(backend="pallas", interpret=True, int4_packed=True)
+        )
+        np.testing.assert_allclose(
+            pallas_packed.score(frames), packed.score(frames), atol=3e-5
+        )
+        pf, _ = packed._prepare(frames)
+        gf, _ = pallas_packed._prepare(frames)
+        np.testing.assert_array_equal(
+            np.asarray(packed._hidden(packed.net, pf)),
+            np.asarray(pallas_packed._hidden(pallas_packed.net, gf)),
+        )
+
+    def test_packed_trunk_mesh_and_guards(self, small_net):
+        """Packed nets ride the mesh engine unchanged (hidden weights are
+        replicated); packing after padding is enforced and packed nets
+        refuse to serialize (runtime storage only)."""
+        from fastdnn_tpu.config import EngineConfig
+        from fastdnn_tpu.engine.scorer import Scorer
+        from fastdnn_tpu.parallel import mesh as pmesh
+        from fastdnn_tpu.quant.quantize import (
+            pack_int4_trunk,
+            pad_qnet_for_tpu,
+        )
+        from fastdnn_tpu.quant.serialize import save_qnet
+
+        q4 = quantize_net(small_net, hidden_bits=4)
+        rng = np.random.default_rng(10)
+        frames = rng.standard_normal((48, q4.input_dim)).astype(np.float32)
+        ref = Scorer(q4, EngineConfig(backend="xla")).score(frames)
+        got = Scorer(
+            q4,
+            EngineConfig(backend="xla", int4_packed=True),
+            mesh=pmesh.make_mesh(data=2, model=4),
+        ).score(frames)
+        np.testing.assert_allclose(got, ref, atol=3e-5)
+
+        packed = pack_int4_trunk(pad_qnet_for_tpu(q4))
+        with pytest.raises(ValueError, match="pad before packing"):
+            pad_qnet_for_tpu(packed)
+        with pytest.raises(ValueError, match="unpacked"):
+            save_qnet(packed, "/tmp/never-written.npz")
+        # int8 nets pass through the transform untouched
+        q8 = quantize_net(small_net)
+        assert pack_int4_trunk(q8) is q8
+
     def test_checkpoint_explicit_bits_must_match(self, small_net, tmp_path):
         """An EXPLICIT hidden_bits request on a pre-quantized checkpoint is
         a hard requirement in BOTH directions (8-on-int4 as much as

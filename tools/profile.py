@@ -451,26 +451,37 @@ def cmd_int4(interpret=False):
 
     net = ff.random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
     cfg = EngineConfig(backend="pallas", interpret=interpret)
-    sc8 = Scorer(quantize_net(net, cutoff=3.0), cfg)
-    sc4 = Scorer(quantize_net(net, cutoff=3.0, hidden_bits=4), cfg)
+    q4 = quantize_net(net, cutoff=3.0, hidden_bits=4)
+    scorers = {
+        "int8": Scorer(quantize_net(net, cutoff=3.0), cfg),
+        # native jnp.int4 operands to the MXU dot — the hypothesis under test
+        "int4": Scorer(q4, cfg),
+        # packed-nibble contingency: same s4 values, no jnp.int4 anywhere
+        "int4_packed": Scorer(
+            q4,
+            EngineConfig(backend="pallas", interpret=interpret, int4_packed=True),
+        ),
+    }
 
     f100 = np.random.default_rng(3).standard_normal((100, 432)).astype(np.float32)
     fl = np.asarray(ff.forward(net, jnp.asarray(f100)))
-    gate = {}
-    for name, sc in (("int8", sc8), ("int4", sc4)):
-        summed = np.abs(sc.score(f100) - fl).sum(axis=0)
-        gate[name] = round(float(summed.max()), 4)
-        print(f"{name}: float-oracle max summed |d| = {gate[name]} "
-              f"(reference gate: < 0.1)", flush=True)
-
     frames = np.random.default_rng(0).standard_normal((B, 432)).astype(np.float32)
-    padded, _ = sc8._prepare(frames)
-    ms8 = _device_total_ms(lambda: sc8._score(sc8.net, padded))
-    ms4 = _device_total_ms(lambda: sc4._score(sc4.net, padded))
-    print(f"device ms/{B} frames: int8 {ms8:.3f}  int4-trunk {ms4:.3f}  "
-          f"({ms8 / max(ms4, 1e-9):.2f}x)")
-    print(_json.dumps({"int4": {"batch": B, "ms_int8": round(ms8, 3),
-                                "ms_int4": round(ms4, 3), "oracle_gate": gate}}))
+    out = {"batch": B}
+    # per-variant isolation: a native-s4 compile failure must not cost the
+    # packed/int8 measurements (the whole point of running all three)
+    for name, sc in scorers.items():
+        try:
+            summed = np.abs(sc.score(f100) - fl).sum(axis=0)
+            gate = round(float(summed.max()), 4)
+            padded, _ = sc._prepare(frames)
+            ms = _device_total_ms(lambda: sc._score(sc.net, padded))
+            out[name] = {"ms": round(ms, 3), "oracle_gate": gate}
+            print(f"{name:12s} {ms:7.3f} ms/{B}  float-oracle max summed |d| "
+                  f"= {gate} (reference gate: < 0.1)", flush=True)
+        except Exception as e:
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"{name:12s} FAILED: {type(e).__name__}: {e}", flush=True)
+    print(_json.dumps({"int4": out}))
 
 
 def cmd_serving(interpret=False):

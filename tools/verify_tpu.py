@@ -325,6 +325,20 @@ def check_engine(detail, batch: int) -> bool:
     ok &= _bitwise("engine_hidden_acts_bitwise", acts_p[: batch],
                    acts_x[: batch], detail)
 
+    # packed-nibble int4 trunk (EngineConfig.int4_packed — the contingency
+    # for toolchains without native s4): pure storage change, so pallas and
+    # XLA engines must agree at the suite's bound; checked BEFORE the
+    # native-s4 block so a native-s4 compile failure cannot mask it
+    q4p = quantize_net(net, cutoff=3.0, hidden_bits=4)
+    sp_p = Scorer(
+        q4p, EngineConfig(backend="pallas", interpret=interpret, int4_packed=True)
+    )
+    sp_x = Scorer(q4p, EngineConfig(backend="xla", int4_packed=True))
+    ok &= _close(
+        "int4_packed_engine_posteriors", sp_p.score(frames[:128]),
+        sp_x.score(frames[:128]), POSTERIOR_ATOL, detail,
+    )
+
     # int4 hidden trunk: s8 x s4 MXU path bitwise across engines, float
     # oracle within the reference's own 0.1 gate (FuncTest.java:70-72)
     from fastdnn_tpu.models.feedforward import forward
