@@ -13,7 +13,9 @@ trajectories: senones are sorted by the mean frame index at which they
 fire (never-active senones go last).  Beam-search activity is temporally
 coherent — a senone's active frames cluster around where its words sit in
 the beam — so mean-time ordering groups co-active senones and the
-all-zero tile fraction rises sharply (measured tables in BENCHMARKS.md).
+all-zero tile fraction rises sharply (BENCHMARKS.md "block-sparse lazy"
+tracks the on-TPU verdict; the tile-fraction effect itself is asserted in
+tests/test_kernels.py::test_clustering_raises_zero_tile_fraction).
 
 Deployment model: permute the MODEL once at load time
 (`permute_output_layer`), feed the decoder permuted posteriors, and
