@@ -127,7 +127,7 @@ def _sharded_posteriors_from_logits(z, masks, valid, semantics):
 
 def _sharded_fused_posteriors(
     net, acts, masks, *, out_dim, semantics, interpret, out_blocks,
-    block_sparse=False,
+    block_sparse=False, fast=False,
 ):
     """Tensor-parallel FUSED softmax: each shard's flash-stats kernel emits
     local logits plus un-normalized (max, sum-of-exp) in ONE MXU pass, so
@@ -183,7 +183,13 @@ def _sharded_fused_posteriors(
     p = jnp.exp(z - m) / jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
     # rows whose GLOBAL max is still at the cap (fully-masked active_only
     # frames, or shards past the senone cutoff everywhere) -> zeros
-    return jnp.where(m > jnp.float32(-1e29), p, 0.0)
+    p = jnp.where(m > jnp.float32(-1e29), p, 0.0)
+    # fast_posteriors: the cross-shard softmax stays exact in f32 (stats
+    # and normalize above); only the final posterior WRITE narrows to bf16
+    # — same halved device->host/consumer bandwidth as the single-device
+    # resident kernel's fast mode, same error model (bf16 rounding away
+    # from the softmax mass)
+    return p.astype(jnp.bfloat16) if fast else p
 
 
 # ---------------------------------------------------------------------------
@@ -228,13 +234,6 @@ def make_mesh_programs(
             "block_sparse mesh programs need backend='pallas' with "
             "fused_softmax=True — the tile-skipping lives inside the "
             "fused masked kernels"
-        )
-    if model > 1 and fast_posteriors:
-        raise ValueError(
-            "fast_posteriors (bf16 posteriors) is not supported with a "
-            "model-sharded mesh: the per-shard flash-stats path keeps f32 "
-            "logits for the exact cross-shard softmax; use model=1 or "
-            "fast_posteriors=False"
         )
     net_spec = _net_spec(n_layers, true_output_dim, packed_int4)
     fspec = P(DATA_AXIS, None)
@@ -285,16 +284,20 @@ def make_mesh_programs(
         mask_spec = P(DATA_AXIS, MODEL_AXIS)
 
         def _out(net, acts, masks):
+            # fast_posteriors on a model-sharded mesh: the cross-shard
+            # softmax (stats, collectives, normalize) stays exact in f32;
+            # only the final posterior write narrows to bf16
             if backend == "pallas" and fused_softmax:
                 return _sharded_fused_posteriors(
                     net, acts, masks, out_dim=out_dim, semantics=semantics,
                     interpret=interpret, out_blocks=out_blocks,
-                    block_sparse=block_sparse,
+                    block_sparse=block_sparse, fast=fast_posteriors,
                 )
             z = output_logits(net, acts, backend, interpret, out_blocks)
-            return _sharded_posteriors_from_logits(
+            p = _sharded_posteriors_from_logits(
                 z, masks, _valid_cols(z.shape[-1], out_dim), semantics
             )
+            return p.astype(jnp.bfloat16) if fast_posteriors else p
 
         def score_body(net, frames):
             return _out(net, hidden_body(net, frames), None)

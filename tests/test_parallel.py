@@ -425,16 +425,31 @@ def test_multihost_scorer_inert_single_process(qnet, rng):
         MultiHostScorer(qnet, EngineConfig(backend="xla"), None)
 
 
-def test_fast_posteriors_rejected_on_model_sharded_mesh(qnet):
-    """bf16 posteriors would break the exact cross-shard softmax; the
-    combination is refused loudly instead of silently ignored."""
-    with pytest.raises(ValueError, match="fast_posteriors"):
-        Scorer(
+def test_fast_posteriors_on_model_sharded_mesh(qnet):
+    """fast_posteriors composes with tensor parallelism: the cross-shard
+    softmax (stats, pmax/psum, normalize) stays exact in f32 and only the
+    final posterior write narrows to bf16 — so mesh fast posteriors must
+    match the f32 mesh result within bf16 rounding, on both backends."""
+    rng = np.random.default_rng(21)
+    frames = rng.standard_normal((64, qnet.input_dim)).astype(np.float32)
+    for backend in ("pallas", "xla"):
+        mesh = pmesh.make_mesh(data=2, model=4)
+        want = Scorer(
+            qnet, EngineConfig(backend=backend, interpret=True), mesh=mesh
+        ).score(frames)
+        sc = Scorer(
             qnet,
-            EngineConfig(backend="pallas", interpret=True, fast_posteriors=True),
-            mesh=pmesh.make_mesh(data=2, model=4),
+            EngineConfig(backend=backend, interpret=True, fast_posteriors=True),
+            mesh=mesh,
         )
-    # data-only mesh: fine (single-device program per shard)
+        padded, n = sc._prepare(frames)
+        dev = sc.score_device(jnp.asarray(padded))
+        assert dev.dtype == jnp.bfloat16  # the device-resident bandwidth win
+        got = np.asarray(dev, np.float32)[:n, : sc.output_dim]
+        np.testing.assert_allclose(got, want, atol=4e-3, err_msg=backend)
+        # the host API stays f32-typed (converted), values unchanged
+        np.testing.assert_allclose(sc.score(frames), want, atol=4e-3)
+    # data-only mesh unchanged (single-device program per shard)
     Scorer(
         qnet,
         EngineConfig(backend="pallas", interpret=True, fast_posteriors=True),

@@ -227,7 +227,14 @@ def main(argv=None) -> int:
                 if wait_ms not in by_wait:
                     for prev in by_wait.values():
                         prev.terminate()
-                        prev.wait(20)
+                        try:
+                            prev.wait(20)
+                        except subprocess.TimeoutExpired:
+                            # a wedged server (e.g. relay hang) must not end
+                            # the sweep — and it MUST die before the next
+                            # spawn (one TPU process at a time)
+                            prev.kill()
+                            prev.wait(20)
                     by_wait.clear()
                     port = _free_port()
                     by_wait[wait_ms] = spawn_server(
