@@ -184,6 +184,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument(
+        "--fast-posteriors",
+        action="store_true",
+        help="bf16 posteriors on device (EngineConfig.fast_posteriors): "
+        "halves the device-to-host posterior transfer; responses still "
+        "carry f32 (converted host-side).  bf16 rounding sits away from "
+        "the softmax mass — see docs/serving.md",
+    )
+    p.add_argument(
+        "--input-precision",
+        default="high",
+        choices=["highest", "high", "default"],
+        help="MXU pass count for the float input layer "
+        "(EngineConfig.input_precision); 'default' (1-pass bf16) is the "
+        "throughput setting and can flip a few sigmoid counts",
+    )
+    p.add_argument(
         "--warmup",
         action="store_true",
         help="pre-compile the common frame buckets before accepting clients "
@@ -215,7 +231,10 @@ def build_scorer(args):
         hidden_bits=getattr(args, "hidden_bits", None),
     )
     cfg = EngineConfig(
-        backend=args.backend, lazy_mode=getattr(args, "lazy_mode", "auto")
+        backend=args.backend,
+        lazy_mode=getattr(args, "lazy_mode", "auto"),
+        fast_posteriors=getattr(args, "fast_posteriors", False),
+        input_precision=getattr(args, "input_precision", "high"),
     )
     mesh_model = getattr(args, "mesh_model", 0)
     mesh_data = getattr(args, "mesh_data", None)

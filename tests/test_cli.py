@@ -239,6 +239,24 @@ def test_serve_mesh_data_alone_builds_mesh(model_file):
         scorer.close()
 
 
+def test_serve_exposes_serving_knobs(model_file):
+    """--fast-posteriors / --input-precision reach the EngineConfig (the
+    deployment path for the measured serving profile, docs/serving.md)."""
+    from fastdnn_tpu.cli.serve import build_scorer
+
+    class A:
+        model = model_file
+        cutoff, backend = 3.0, "xla"
+        mesh_model, mesh_data = 0, None
+        coordinator = None
+        fast_posteriors = True
+        input_precision = "default"
+
+    scorer, _ = build_scorer(A)
+    assert scorer.config.fast_posteriors is True
+    assert scorer.config.input_precision == "default"
+
+
 def test_checkpoint_cutoff_warns(model_file, tmp_path):
     """--cutoff cannot apply to a pre-quantized .npz checkpoint; the load
     must say so instead of silently no-opping."""
