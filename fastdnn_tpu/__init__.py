@@ -39,7 +39,13 @@ from .models.feedforward import (
     random_net,
     to_raw,
 )
-from .quant.quantize import QuantizedNet, pad_qnet_for_tpu, quantize_layer, quantize_net
+from .quant.quantize import (
+    QuantizedNet,
+    pack_int4_trunk,
+    pad_qnet_for_tpu,
+    quantize_layer,
+    quantize_net,
+)
 from .quant.serialize import load_qnet, save_qnet
 
 __version__ = "0.1.0"
@@ -76,6 +82,7 @@ __all__ = [
     "load_model",
     "load_model_text",
     "load_qnet",
+    "pack_int4_trunk",
     "pad_qnet_for_tpu",
     "save_qnet",
     "quantize_layer",
