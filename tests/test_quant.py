@@ -279,6 +279,26 @@ class TestInt4Trunk:
             np.asarray(pallas_packed._hidden(pallas_packed.net, gf)),
         )
 
+    @pytest.mark.parametrize(
+        "hidden", [[96], [64, 128, 64], [256] * 4], ids=["1L", "unequal", "4L"]
+    )
+    def test_packed_trunk_shapes(self, hidden):
+        """Packing is shape-independent: single hidden layer, unequal
+        widths (no stack path), and a deeper trunk all stay bitwise equal
+        to the unpacked int4 engine."""
+        from fastdnn_tpu.config import EngineConfig
+        from fastdnn_tpu.engine.scorer import Scorer
+
+        net = random_net(jax.random.PRNGKey(13), 32, hidden, 80)
+        q4 = quantize_net(net, hidden_bits=4)
+        rng = np.random.default_rng(13)
+        frames = rng.standard_normal((32, 32)).astype(np.float32)
+        want = Scorer(q4, EngineConfig(backend="xla")).score(frames)
+        got = Scorer(
+            q4, EngineConfig(backend="xla", int4_packed=True)
+        ).score(frames)
+        np.testing.assert_array_equal(got, want)
+
     def test_packed_trunk_mesh_and_guards(self, small_net):
         """Packed nets ride the mesh engine unchanged (hidden weights are
         replicated); packing after padding is enforced and packed nets
