@@ -122,6 +122,12 @@ class EngineConfig:
     #: for this (net topology, device kind); explicitly-set knobs always
     #: win.  See fastdnn_tpu/tuning.py for the lookup policy.
     autotuned: bool = True
+    #: typical per-call frame count, used ONLY as the registry-lookup hint:
+    #: with several batches recorded for a (net, device kind), the entry
+    #: with the nearest batch wins.  None = the largest-batch entry (the
+    #: throughput regime the engine optimizes for); latency deployments
+    #: scoring small fixed batches should set their batch here.
+    tuned_batch: "int | None" = None
     #: Pallas block size over the frame axis (trace-tuned on v5e)
     block_frames: int = 1024
     #: Pallas node-axis block for hidden layers (trace-tuned on v5e:

@@ -79,12 +79,45 @@ def _broadcast(x: np.ndarray) -> np.ndarray:
 
 
 def _kv_client():
-    """The jax.distributed coordination-service KV client, or None."""
-    try:
-        client = jax.distributed.global_state.client
-    except Exception:  # pragma: no cover - old jax layout
-        client = None
-    return client
+    """The jax.distributed coordination-service KV client, or None.
+
+    Current jax keeps global_state in jax._src.distributed (the public
+    jax.distributed module stopped re-exporting it); older releases had
+    jax.distributed.global_state.  Probe both — a silent None here quietly
+    demotes every scatter pod to full-batch broadcast (hosts x batch DCN
+    traffic), which is how the r4 advisor's test request caught this very
+    function returning None on the current toolchain.
+    """
+    for get in (
+        lambda: jax.distributed.global_state.client,
+        lambda: __import__(
+            "jax._src.distributed", fromlist=["global_state"]
+        ).global_state.client,
+    ):
+        try:
+            client = get()
+        except Exception:
+            continue
+        if client is not None:
+            return client
+    return None
+
+
+def _is_kv_timeout(e: BaseException) -> bool:
+    """True when a blocking KV get failed by TIMING OUT (safe to retry).
+
+    The coordination service surfaces expiry as an XlaRuntimeError whose
+    message carries the gRPC status name — "DEADLINE_EXCEEDED" in current
+    jaxlib (pinned by tests/test_multihost.py against the real exception) —
+    but the wording is not a stable API, so match the broader timeout
+    vocabulary: a benign periodic expiry that re-raises because jaxlib
+    reworded it would kill the worker, which is pod-fatal under the
+    wait-forever contract.  Anything non-timeout (UNAVAILABLE after a
+    coordinator crash, service torn down, bad key) stays False so
+    worker_loop's log-and-re-raise contract fires.
+    """
+    msg = str(e).upper()
+    return "DEADLINE" in msg or "TIMEOUT" in msg or "TIMED OUT" in msg
 
 
 def _to_global(mesh, spec, arr: np.ndarray):
@@ -257,12 +290,11 @@ class MultiHostScorer(Scorer):
                     raw = client.blocking_key_value_get_bytes(key, 600_000)
                     break
                 except Exception as e:
-                    # retry only a genuine deadline expiry; anything else
-                    # (coordination service torn down, UNAVAILABLE after a
-                    # coordinator crash, bad key) must surface loudly so
-                    # worker_loop's log-and-re-raise contract fires instead
-                    # of wedging the worker in a silent retry loop
-                    if "DEADLINE" not in str(e).upper():
+                    # retry only a genuine expiry (see _is_kv_timeout);
+                    # anything else must surface loudly so worker_loop's
+                    # log-and-re-raise contract fires instead of wedging
+                    # the worker in a silent retry loop
+                    if not _is_kv_timeout(e):
                         raise
                     continue
         else:
@@ -428,7 +460,19 @@ class MultiHostScorer(Scorer):
                 # declares the pod dead (_closed) so they fail fast instead
                 self._with_watchdog(beat, ("heartbeat",))
             except Exception:
-                return  # pod declared dead (by this beat or a queued call)
+                if self._closed:
+                    return  # pod declared dead (by this beat or a queued call)
+                # a transient beat failure (e.g. ABORTED from a racing
+                # broadcast) with the scorer still open must not silently
+                # disable the heartbeat for good — the workers' pending
+                # collective would then hit the runtime timeout while idle
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "multi-host heartbeat broadcast failed; retrying",
+                    exc_info=True,
+                )
+                continue
 
     def close(self) -> None:
         """Coordinator: release the workers (broadcast stop)."""

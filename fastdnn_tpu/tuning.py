@@ -9,9 +9,12 @@ the loop so they are chosen by RECORDED MEASUREMENT, not by hand:
     python tools/autotune.py --commit      # sweep on device, write registry
     Scorer(...)                            # consults the registry
 
-Registry file: `fastdnn_tpu/tuned.json` (package data; override path with
-FASTDNN_TUNED=<path>, disable with FASTDNN_TUNED=0).  One entry per
-(net topology, device kind, batch) triple:
+Registry files: `fastdnn_tpu/tuned.json` (package data) merged with the
+per-user state file `$XDG_STATE_HOME/fastdnn_tpu/tuned.json` (user entries
+win; `--commit` writes there when the package dir is read-only, e.g.
+site-packages installs).  Override both with FASTDNN_TUNED=<path>, disable
+with FASTDNN_TUNED=0.  One entry per (net topology, device kind, batch)
+triple:
 
     {"net": "432-7x2048-8000", "device_kind": "TPU v5 lite", "batch": 8192,
      "best_ms": 2.31, "knobs": {"block_frames": 1024, ...}}
@@ -22,9 +25,9 @@ fills in only knobs left at their hand defaults.  Without a matching
 (net, device) entry the hand defaults stand, so CPU tests and unknown
 topologies are unaffected.  With several batches recorded, the entry with
 the largest batch wins by default (the throughput regime the engine
-optimizes for); callers scoring fixed small batches can pass their batch to
-`lookup` directly.  Set EngineConfig(autotuned=False) to ignore the
-registry entirely.
+optimizes for); callers scoring fixed small batches set
+EngineConfig(tuned_batch=N) and the nearest recorded batch wins instead.
+Set EngineConfig(autotuned=False) to ignore the registry entirely.
 """
 
 from __future__ import annotations
@@ -43,18 +46,53 @@ BLOCK_KEYS = (
 )
 
 
+def _package_registry_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "tuned.json")
+
+
+def _user_registry_path() -> str:
+    """Per-user state file: where `autotune --commit` lands when the package
+    directory is read-only (site-packages installs, ADVICE r4)."""
+    base = os.environ.get("XDG_STATE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".local", "state"
+    )
+    return os.path.join(base, "fastdnn_tpu", "tuned.json")
+
+
+def registry_paths() -> list:
+    """Registry files to READ, in precedence order (later entries win on key
+    conflicts): package file first, user state file second.  FASTDNN_TUNED
+    overrides both with a single explicit path; =0/'' disables."""
+    env = os.environ.get("FASTDNN_TUNED")
+    if env == "0" or env == "":
+        return []
+    if env:
+        return [env]
+    return [_package_registry_path(), _user_registry_path()]
+
+
 def registry_path() -> Optional[str]:
-    """Resolved registry file path, or None when disabled (FASTDNN_TUNED=0)."""
+    """The registry file to WRITE (merge_entry/save_registry target), or
+    None when disabled.  The package file when its directory is writable
+    (dev checkouts — the file should be committed to git), the per-user
+    state file otherwise."""
     env = os.environ.get("FASTDNN_TUNED")
     if env == "0" or env == "":
         return None
-    return env or os.path.join(os.path.dirname(__file__), "tuned.json")
+    if env:
+        return env
+    pkg = _package_registry_path()
+    if _dir_writable(os.path.dirname(pkg)):
+        return pkg
+    return _user_registry_path()
 
 
-def load_registry(path: Optional[str] = None) -> list:
-    """Entries from the registry file; [] when absent/disabled/unreadable."""
-    path = path or registry_path()
-    if not path or not os.path.exists(path):
+def _dir_writable(d: str) -> bool:
+    return os.access(d, os.W_OK)
+
+
+def _read_entries(path: str) -> list:
+    if not os.path.exists(path):
         return []
     try:
         with open(path) as f:
@@ -64,21 +102,46 @@ def load_registry(path: Optional[str] = None) -> list:
         return []
 
 
+def load_registry(path: Optional[str] = None) -> list:
+    """Entries visible to lookup; [] when absent/disabled/unreadable.
+
+    With an explicit `path`, just that file.  Default: the package file
+    merged with the user state file, user entries replacing package entries
+    with the same (net, device_kind, batch) key.
+    """
+    if path is not None:
+        return _read_entries(path)
+    merged: dict = {}
+    for p in registry_paths():
+        for e in _read_entries(p):
+            merged[(e.get("net"), e.get("device_kind"), e.get("batch"))] = e
+    return list(merged.values())
+
+
 def save_registry(entries: list, path: Optional[str] = None) -> None:
     path = path or registry_path()
     if not path:
         raise ValueError("registry disabled (FASTDNN_TUNED=0)")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         json.dump({"entries": entries}, f, indent=1, sort_keys=True)
         f.write("\n")
 
 
 def merge_entry(entry: dict, path: Optional[str] = None) -> list:
-    """Insert/replace the entry with the same (net, device_kind, batch) key."""
+    """Insert/replace the entry with the same (net, device_kind, batch) key.
+
+    Reads and rewrites ONLY the write-target file (registry_path()), so a
+    read-only package registry never gets copied wholesale into the user
+    state file — lookups merge the two at read time instead.
+    """
+    path = path or registry_path()
+    if not path:
+        raise ValueError("registry disabled (FASTDNN_TUNED=0)")
     key = (entry["net"], entry["device_kind"], entry["batch"])
     entries = [
         e
-        for e in load_registry(path)
+        for e in _read_entries(path)
         if (e.get("net"), e.get("device_kind"), e.get("batch")) != key
     ]
     entries.append(entry)
@@ -135,7 +198,10 @@ def apply_tuned(config, qnet, device_kind: str):
     """
     if not getattr(config, "autotuned", True):
         return config
-    knobs = lookup(net_key(qnet), device_kind)
+    knobs = lookup(
+        net_key(qnet), device_kind,
+        batch=getattr(config, "tuned_batch", None),
+    )
     if not knobs:
         return config
     defaults = {

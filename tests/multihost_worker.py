@@ -88,10 +88,39 @@ def main() -> int:
     init_multihost(coord, num_processes=num, process_id=pid)
     assert jax.process_count() == num, jax.process_count()
     devices = jax.devices()
-    assert len(devices) == 4 * num, len(devices)
+    assert len(devices) == jax.local_device_count() * num, len(devices)
 
     if mode == "serve":
         return serve_mode(num, pid, out_dir)
+
+    if mode == "kv-timeout":
+        # ADVICE r4 (medium): pin the retry classifier against the REAL
+        # exception the coordination service raises on a blocking KV get
+        # expiry — _recv_global's wait-forever loop retries exactly the
+        # exceptions _is_kv_timeout accepts, so the classifier must match
+        # what this jaxlib actually throws (and must NOT match a plain
+        # wrong-key/unavailable error, tested separately below).
+        from fastdnn_tpu.parallel.service import _is_kv_timeout, _kv_client
+
+        client = _kv_client()
+        assert client is not None, "no KV client under jax.distributed"
+        try:
+            client.blocking_key_value_get_bytes(
+                f"fastdnn/test/never-set-key/{pid}", 300
+            )
+        except Exception as e:
+            assert _is_kv_timeout(e), (
+                f"KV expiry not classified as timeout: {type(e).__name__}: {e}"
+            )
+        else:
+            print("FATAL: blocking get of a never-set key returned")
+            return 3
+        # a non-timeout error must NOT be classified as retryable
+        assert not _is_kv_timeout(RuntimeError("UNAVAILABLE: coordinator gone"))
+        if pid == 0:
+            with open(os.path.join(out_dir, "kv_timeout_ok"), "w") as f:
+                f.write("ok")
+        return 0
 
     if mode == "worker-death":
         # failure-detection test: the worker crashes after one successful
@@ -146,6 +175,96 @@ def main() -> int:
         # would fail against the crashed worker and dirty the exit code —
         # hard-exit (a supervisor would restart all processes here anyway)
         os._exit(0)
+
+    if mode == "churn4":
+        # 4-process pod (VERDICT r4 #7): scatter distribution + watchdog
+        # under real process churn.  Three scoring calls stream through the
+        # KV-scatter path with all 4 processes alive; then worker 3 crashes
+        # WITHOUT the stop op and the coordinator's watchdog must declare
+        # the pod dead and fail fast afterwards.
+        import numpy as np
+
+        from fastdnn_tpu.config import EngineConfig
+        from fastdnn_tpu.models.feedforward import random_net
+        from fastdnn_tpu.parallel.mesh import make_mesh
+        from fastdnn_tpu.parallel.service import MultiHostScorer
+        from fastdnn_tpu.quant.quantize import quantize_net
+
+        qnet = quantize_net(random_net(jax.random.PRNGKey(5), 32, [64, 64], 32))
+        mesh = make_mesh(model=2)  # (data, model=2) over all devices
+        sc = MultiHostScorer(qnet, EngineConfig(backend="xla"), mesh,
+                             heartbeat_s=0, call_timeout_s=20.0)
+        # the whole point of a 4-proc pod is the scatter path: pin that the
+        # KV client resolved (a None here silently demotes to broadcast)
+        assert sc._scatter, "KV scatter unavailable in a real 4-process pod"
+        rng = np.random.default_rng(7)
+        batches = [rng.standard_normal((16, 32)).astype(np.float32)
+                   for _ in range(3)]
+        masks = (rng.random((16, qnet.output_dim)) < 0.4).astype(np.uint8)
+
+        if pid == 3:
+            calls = [0]
+            orig = sc._replicate
+
+            def replicate_then_die(x):
+                out = orig(x)
+                out.block_until_ready()
+                calls[0] += 1
+                if calls[0] >= 4:  # 3 scores + 1 masked, then churn
+                    os._exit(17)
+                return out
+
+            sc._replicate = replicate_then_die
+            sc.worker_loop()
+            return 0
+        if pid != 0:
+            # workers 1/2 survive the churn but are wedged in the dead
+            # pod's collectives afterwards (the runtime cannot cancel
+            # them) — exactly the "restart all processes" contract.  Run
+            # the loop in a daemon thread and exit once the coordinator
+            # has proven the failure was detected (marker file).
+            import threading
+            import time
+
+            t = threading.Thread(target=sc.worker_loop, daemon=True)
+            t.start()
+            deadline = time.time() + 120
+            marker = os.path.join(out_dir, "churn4_ok")
+            while time.time() < deadline:
+                if os.path.exists(marker):
+                    os._exit(0)  # supervisor-restart analog
+                if not t.is_alive():
+                    return 0  # clean stop op (not expected in this mode)
+                time.sleep(0.25)
+            print("FATAL: coordinator never wrote the churn4_ok marker")
+            os._exit(5)
+
+        for b in batches:
+            post = sc.score(b)
+            assert post.shape == (16, qnet.output_dim)
+        post_m = sc.score_masked(batches[0], masks)
+        assert post_m.shape == (16, qnet.output_dim)
+        np.savez(os.path.join(out_dir, "churn4.npz"),
+                 post=post, post_m=post_m, frames=batches[-1], masks=masks)
+        import time
+
+        time.sleep(1.5)  # let worker 3 finish dying
+        try:
+            sc.score(batches[0])
+            print("FATAL: dead worker not detected")
+            return 3
+        except Exception as e:
+            print(f"churn surfaced: {type(e).__name__}")
+        try:
+            sc.score(batches[0])
+            print("FATAL: closed scorer accepted a call")
+            return 4
+        except RuntimeError:
+            pass
+        with open(os.path.join(out_dir, "churn4_ok"), "w") as f:
+            f.write("ok")
+        sys.stdout.flush()
+        os._exit(0)  # known-dead pod: skip the atexit shutdown barrier
 
     if mode == "lazy":
         # multi-process LazyContext (VERDICT r3 #7): the coordinator-side

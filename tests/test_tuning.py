@@ -77,6 +77,62 @@ def test_apply_tuned_fills_defaults_but_respects_explicit(qnet, tmp_path, monkey
     assert cfg == EngineConfig()
 
 
+def test_apply_tuned_honors_tuned_batch_hint(qnet, tmp_path, monkeypatch):
+    """ADVICE r4: latency deployments scoring fixed small batches can key
+    the registry lookup on their batch via EngineConfig.tuned_batch — the
+    nearest recorded batch wins instead of the largest-batch entry."""
+    reg = tmp_path / "tuned.json"
+    reg.write_text(json.dumps({"entries": [
+        _entry(batch=256, block_frames=256),
+        _entry(batch=8192, block_frames=2048),
+    ]}))
+    monkeypatch.setenv("FASTDNN_TUNED", str(reg))
+
+    assert tuning.apply_tuned(EngineConfig(), qnet, "TPU test").block_frames == 2048
+    cfg = tuning.apply_tuned(EngineConfig(tuned_batch=300), qnet, "TPU test")
+    assert cfg.block_frames == 256
+
+
+def test_registry_user_state_fallback_and_merge(qnet, tmp_path, monkeypatch):
+    """ADVICE r4: with a read-only package dir, --commit's write target
+    falls back to the per-user state file; lookups merge package + user
+    entries with user entries winning on key conflicts."""
+    monkeypatch.delenv("FASTDNN_TUNED", raising=False)
+    pkg_dir = tmp_path / "pkg"
+    pkg_dir.mkdir()
+    pkg = pkg_dir / "tuned.json"
+    pkg.write_text(json.dumps({"entries": [
+        _entry(batch=8192, block_frames=1024),          # shadowed by user
+        _entry(batch=256, block_frames=512),            # package-only
+    ]}))
+    monkeypatch.setattr(tuning, "_package_registry_path", lambda: str(pkg))
+    monkeypatch.setenv("XDG_STATE_HOME", str(tmp_path / "state"))
+
+    # writable package dir -> write target is the package file
+    assert tuning.registry_path() == str(pkg)
+
+    # simulate a read-only site-packages install (chmod alone can't: the
+    # suite runs as root, for whom os.access always grants W_OK)
+    monkeypatch.setattr(
+        tuning, "_dir_writable", lambda d: d != str(pkg_dir)
+    )
+    user = tuning._user_registry_path()
+    assert tuning.registry_path() == user
+
+    tuning.merge_entry(_entry(batch=8192, block_frames=2048))
+    # user file holds ONLY the committed entry (no wholesale copy)
+    assert len(tuning.load_registry(user)) == 1
+
+    merged = tuning.load_registry()
+    assert len(merged) == 2  # user entry replaced the package 8192 one
+    assert tuning.lookup("32-2x64-48", "TPU test", registry=merged) == {
+        "block_frames": 2048
+    }
+    assert tuning.lookup(
+        "32-2x64-48", "TPU test", batch=256, registry=merged
+    ) == {"block_frames": 512}
+
+
 def test_registry_disabled_and_corrupt(tmp_path, monkeypatch):
     monkeypatch.setenv("FASTDNN_TUNED", "0")
     assert tuning.registry_path() is None
