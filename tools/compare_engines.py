@@ -10,10 +10,17 @@ reference binary scores the bundled features, and the per-senone summed
 gate.  Argmax agreement is reported on frames whose top-2 margin exceeds
 cross-engine quantization noise.
 
+Each trial ALSO gates the LAZY path (r5, VERDICT r4 #7): FuncTest-style
+evolving beam masks are scored by the reference's own
+CalculationContext::LazyOutputActivations via tools/ref_lazy_harness.cc
+(the reference CLI never exposed lazy, so this is the only way to
+cross-gate it) and compared against Scorer.score_masked under the default
+softmax-over-zeros reference semantics.
+
     JAX_PLATFORMS=cpu python tools/compare_engines.py [--trials 10] [--seed 0]
 
-Exit 0 = every trial inside the tight gate with full resolvable-argmax
-agreement.
+Exit 0 = every trial (dense AND lazy) inside the tight gate with full
+resolvable-argmax agreement.
 """
 
 from __future__ import annotations
@@ -30,6 +37,41 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 REF = "/root/reference"
 FEATURES = os.path.join(REF, "data", "8khz.aligned.bin")
+
+
+def build_reference_lazy_harness(td: str) -> str:
+    """Compile tools/ref_lazy_harness.cc against the unmodified reference
+    sources (dnn.cc's CLI main renamed out of the way)."""
+    obj = os.path.join(td, "ref_dnn.o")
+    subprocess.run(
+        ["g++", "-O2", "-msse4", "-std=c++11", "-Dmain=ref_cli_main",
+         "-c", os.path.join(REF, "src/cpp/dnn.cc"), "-o", obj],
+        check=True,
+    )
+    ref_lazy = os.path.join(td, "ref-lazy")
+    subprocess.run(
+        ["g++", "-O2", "-msse4", "-std=c++11",
+         "-I", os.path.join(REF, "src/cpp"),
+         "-o", ref_lazy,
+         os.path.join(REPO, "tools", "ref_lazy_harness.cc"),
+         obj, os.path.join(REF, "src/cpp/float_dnn.cc")],
+        check=True,
+    )
+    return ref_lazy
+
+
+def run_reference_lazy(ref_lazy: str, model_path: str, features_path: str,
+                       masks: np.ndarray, td: str) -> np.ndarray:
+    """Reference lazy posteriors [frames, out] for a 0/1 mask matrix."""
+    from fastdnn_tpu.formats.binary import write_features
+
+    masks_path = os.path.join(td, "masks.bin")
+    write_features(masks.astype(np.float32), masks_path)
+    out_txt = os.path.join(td, "ref_lazy_out.txt")
+    subprocess.run(
+        [ref_lazy, model_path, features_path, masks_path, out_txt], check=True
+    )
+    return np.loadtxt(out_txt, dtype=np.float32).reshape(masks.shape)
 
 
 def main() -> int:
@@ -53,13 +95,16 @@ def main() -> int:
     rng = np.random.default_rng(args.seed)
     feats = read_features(FEATURES)[: args.frames]
 
+    from fastdnn_tpu.cli.score import generate_masks
+
     failures = 0
     with tempfile.TemporaryDirectory() as td:
         ref_bin = build_reference_engine(td)
+        ref_lazy = build_reference_lazy_harness(td)
         feats_path = os.path.join(td, "feats.bin")
         write_features(feats, feats_path)
         print(f"{'trial':>5} {'topology':>22} {'max|dp|':>9} {'sum|dp|max':>10} "
-              f"{'argmax':>7} {'verdict':>8}")
+              f"{'argmax':>7} {'lazy sum|dp|':>12} {'verdict':>8}")
         for t in range(args.trials):
             # depth >= 3: the REFERENCE cannot act as oracle for shallower
             # nets — CalculationContext sizes its activation buffers from
@@ -79,9 +124,8 @@ def main() -> int:
             write_model(to_raw(net), model_path)
             ref_post = run_reference(ref_bin, model_path, feats_path, td)
 
-            ours = Scorer(quantize_net(net, cutoff=3.0), EngineConfig(backend="xla")).score(
-                feats
-            )
+            scorer = Scorer(quantize_net(net, cutoff=3.0), EngineConfig(backend="xla"))
+            ours = scorer.score(feats)
             d = np.abs(ours - ref_post)
             sum_dp = d.sum(axis=0).max()
             # argmax on frames whose reference top-2 margin is resolvable
@@ -94,11 +138,26 @@ def main() -> int:
                 if resolvable.any()
                 else float("nan")
             )
-            ok = sum_dp < 0.02 and (not resolvable.any() or agree == 1.0)
+
+            # lazy path: evolving FuncTest-style beam masks through the
+            # reference's LazyOutputActivations vs our score_masked under
+            # the default softmax-over-zeros reference semantics
+            mask_rng = np.random.default_rng(seed ^ 0x5A5A)
+            density = float(rng.uniform(0.05, 0.5))
+            masks = generate_masks(mask_rng, len(feats), out, density)
+            ref_lazy_post = run_reference_lazy(
+                ref_lazy, model_path, feats_path, masks, td
+            )
+            ours_lazy = scorer.score_masked(feats, masks)
+            lazy_sum_dp = np.abs(ours_lazy - ref_lazy_post).sum(axis=0).max()
+
+            ok = (sum_dp < 0.02 and lazy_sum_dp < 0.02
+                  and (not resolvable.any() or agree == 1.0))
             failures += not ok
             print(
                 f"{t:>5} {f'{429}-{depth}x{width}-{out}':>22} {d.max():>9.2e} "
-                f"{sum_dp:>10.4f} {agree:>7.3f} {'ok' if ok else 'DIVERGED':>8}",
+                f"{sum_dp:>10.4f} {agree:>7.3f} {lazy_sum_dp:>12.4f} "
+                f"{'ok' if ok else 'DIVERGED':>8}",
                 flush=True,
             )
     print(f"\n{args.trials - failures}/{args.trials} trials inside the tight gate "
