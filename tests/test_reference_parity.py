@@ -64,6 +64,30 @@ def test_posteriors_match_reference_engine(golden, backend_kw):
     np.testing.assert_array_equal(ours.argmax(1), ref.argmax(1))
 
 
+@pytest.mark.parametrize("backend_kw", [
+    dict(backend="xla"),
+    dict(backend="pallas", interpret=True),
+])
+def test_lazy_posteriors_match_reference_engine(golden, backend_kw):
+    """Lazy-path parity against the reference's ACTUAL masked scorer
+    (CalculationContext::LazyOutputActivations, dnn.cc:355-392), driven by
+    tools/ref_lazy_harness.cc — the reference CLI never exposed it.  Masks
+    are FuncTest-style evolving beam masks at 40% density; the default
+    softmax-over-zeros semantics must reproduce the reference's inactive
+    1/Z rows exactly (tools/make_reference_golden.py regenerates)."""
+    raw, frames, _ = golden
+    masks = (read_features(os.path.join(GOLDEN, "lazy_masks.bin")) != 0).astype(np.uint8)
+    ref = read_features(os.path.join(GOLDEN, "lazy_ref_posteriors.bin"))
+    frames = frames[: masks.shape[0]]
+    qnet = quantize_net(from_raw(raw), cutoff=3.0)
+    ours = Scorer(qnet, EngineConfig(**backend_kw)).score_masked(frames, masks)
+    assert ours.shape == ref.shape
+    d = np.abs(ours - ref)
+    assert d.max() < 5e-4, f"lazy max |dp| {d.max():.2e} vs reference engine"
+    assert d.sum(axis=0).max() < 0.02  # 5x inside the reference's own gate
+    np.testing.assert_array_equal(ours.argmax(1), ref.argmax(1))
+
+
 def test_reference_tolerance_gate_semantics(golden):
     """The gate above implies the reference's own diff() check passes
     (FuncTest.java:59-74: flag any senone whose summed |dp| across frames

@@ -39,41 +39,6 @@ REF = "/root/reference"
 FEATURES = os.path.join(REF, "data", "8khz.aligned.bin")
 
 
-def build_reference_lazy_harness(td: str) -> str:
-    """Compile tools/ref_lazy_harness.cc against the unmodified reference
-    sources (dnn.cc's CLI main renamed out of the way)."""
-    obj = os.path.join(td, "ref_dnn.o")
-    subprocess.run(
-        ["g++", "-O2", "-msse4", "-std=c++11", "-Dmain=ref_cli_main",
-         "-c", os.path.join(REF, "src/cpp/dnn.cc"), "-o", obj],
-        check=True,
-    )
-    ref_lazy = os.path.join(td, "ref-lazy")
-    subprocess.run(
-        ["g++", "-O2", "-msse4", "-std=c++11",
-         "-I", os.path.join(REF, "src/cpp"),
-         "-o", ref_lazy,
-         os.path.join(REPO, "tools", "ref_lazy_harness.cc"),
-         obj, os.path.join(REF, "src/cpp/float_dnn.cc")],
-        check=True,
-    )
-    return ref_lazy
-
-
-def run_reference_lazy(ref_lazy: str, model_path: str, features_path: str,
-                       masks: np.ndarray, td: str) -> np.ndarray:
-    """Reference lazy posteriors [frames, out] for a 0/1 mask matrix."""
-    from fastdnn_tpu.formats.binary import write_features
-
-    masks_path = os.path.join(td, "masks.bin")
-    write_features(masks.astype(np.float32), masks_path)
-    out_txt = os.path.join(td, "ref_lazy_out.txt")
-    subprocess.run(
-        [ref_lazy, model_path, features_path, masks_path, out_txt], check=True
-    )
-    return np.loadtxt(out_txt, dtype=np.float32).reshape(masks.shape)
-
-
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--trials", type=int, default=10)
@@ -90,7 +55,12 @@ def main() -> int:
     from fastdnn_tpu.formats.binary import read_features, write_features, write_model
     from fastdnn_tpu.models.feedforward import align, random_net, to_raw
     from fastdnn_tpu.quant.quantize import quantize_net
-    from tools.make_reference_golden import build_reference_engine, run_reference
+    from tools.make_reference_golden import (
+        build_reference_engine,
+        build_reference_lazy_harness,
+        run_reference,
+        run_reference_lazy,
+    )
 
     rng = np.random.default_rng(args.seed)
     feats = read_features(FEATURES)[: args.frames]

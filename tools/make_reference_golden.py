@@ -60,6 +60,43 @@ def run_reference(ref_bin: str, model_path: str, features_path: str, td: str) ->
     return np.loadtxt(out_txt, dtype=np.float32)
 
 
+def build_reference_lazy_harness(td: str) -> str:
+    """Compile tools/ref_lazy_harness.cc against the unmodified reference
+    sources (dnn.cc's CLI main renamed out of the way) — the only route to
+    the reference's lazy path, which its CLI never exposed."""
+    obj = os.path.join(td, "ref_dnn.o")
+    subprocess.run(
+        ["g++", "-O2", "-msse4", "-std=c++11", "-Dmain=ref_cli_main",
+         "-c", os.path.join(REF, "src/cpp/dnn.cc"), "-o", obj],
+        check=True,
+    )
+    ref_lazy = os.path.join(td, "ref-lazy")
+    subprocess.run(
+        ["g++", "-O2", "-msse4", "-std=c++11",
+         "-I", os.path.join(REF, "src/cpp"),
+         "-o", ref_lazy,
+         os.path.join(REPO, "tools", "ref_lazy_harness.cc"),
+         obj, os.path.join(REF, "src/cpp/float_dnn.cc")],
+        check=True,
+    )
+    return ref_lazy
+
+
+def run_reference_lazy(ref_lazy: str, model_path: str, features_path: str,
+                       masks: np.ndarray, td: str) -> np.ndarray:
+    """Reference lazy posteriors [frames, out] for a 0/1 mask matrix."""
+    sys.path.insert(0, REPO)
+    from fastdnn_tpu.formats.binary import write_features
+
+    masks_path = os.path.join(td, "masks.bin")
+    write_features(masks.astype(np.float32), masks_path)
+    out_txt = os.path.join(td, "ref_lazy_out.txt")
+    subprocess.run(
+        [ref_lazy, model_path, features_path, masks_path, out_txt], check=True
+    )
+    return np.loadtxt(out_txt, dtype=np.float32).reshape(masks.shape)
+
+
 def make_divergence_net(jax):
     """Seed net with deliberate positive outliers above the cutoff."""
     from fastdnn_tpu.models.feedforward import align, random_net
@@ -150,6 +187,27 @@ def main() -> int:
         post = run_reference(ref_bin, div_path, FEATURES, td)
         write_features(post, os.path.join(GOLDEN, "divergence_ref_posteriors.bin"))
         print(f"divergence golden: model + posteriors {post.shape}")
+
+        # -- 4. lazy-path golden (mask-matrix) --------------------------------
+        # The reference CLI never exposed LazyOutputActivations; this golden
+        # comes from tools/ref_lazy_harness.cc driving it with FuncTest-style
+        # evolving beam masks (generateMasks, FuncTest.java:121-154 shape) on
+        # the parity model — so the suite gates score_masked against the
+        # reference's ACTUAL lazy output (softmax-over-zeros semantics
+        # included) without recompiling the reference per run.
+        from fastdnn_tpu.cli.score import generate_masks
+
+        ref_lazy = build_reference_lazy_harness(td)
+        feats64 = read_features(FEATURES)[:64]
+        feats64_path = os.path.join(td, "feats64.bin")
+        write_features(feats64, feats64_path)
+        masks = generate_masks(np.random.default_rng(41), 64, 100, 0.4)
+        write_features(
+            masks.astype(np.float32), os.path.join(GOLDEN, "lazy_masks.bin")
+        )
+        post = run_reference_lazy(ref_lazy, model_path, feats64_path, masks, td)
+        write_features(post, os.path.join(GOLDEN, "lazy_ref_posteriors.bin"))
+        print(f"lazy golden: masks + posteriors {post.shape}")
 
     return 0
 
