@@ -385,7 +385,25 @@ def check_golden(detail) -> bool:
         "ok": ok, "sum_dp_max": sum_dp, "gate": 0.02,
         "argmax_agreement": agree, "resolvable_frames": int(resolvable.sum()),
     }
-    return ok
+
+    # lazy golden: the compiled MASKED kernels vs the reference's ACTUAL
+    # LazyOutputActivations output (softmax-over-zeros semantics; fixture
+    # from tools/ref_lazy_harness.cc via make_reference_golden.py)
+    masks = (read_features(os.path.join(golden, "lazy_masks.bin")) != 0).astype(
+        np.uint8
+    )
+    ref_l = read_features(os.path.join(golden, "lazy_ref_posteriors.bin"))
+    ours_l = Scorer(
+        qnet, EngineConfig(backend="pallas", interpret=interpret)
+    ).score_masked(frames[: masks.shape[0]], masks)
+    sum_l = float(np.abs(ours_l - ref_l).sum(axis=0).max())
+    agree_l = float((ours_l.argmax(1) == ref_l.argmax(1)).mean())
+    ok_l = sum_l < 0.02 and agree_l == 1.0
+    detail["golden_lazy_parity"] = {
+        "ok": ok_l, "sum_dp_max": sum_l, "gate": 0.02,
+        "argmax_agreement": agree_l,
+    }
+    return ok and ok_l
 
 
 def main(argv=None) -> int:
