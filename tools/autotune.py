@@ -44,8 +44,10 @@ _profile = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_profile)
 _device_total_ms = _profile._device_total_ms
 
-HIDDEN_CANDIDATES = (256, 512, 1024, 2048)
-OUT_FRAME_CANDIDATES = (128, 256, 512)
+#: hidden-block candidates; 128 joins only for small-batch (latency) sweeps
+#: so the throughput sweep's compile budget stays bounded
+HIDDEN_CANDIDATES_BASE = (128, 256, 512, 1024, 2048)
+OUT_FRAME_CANDIDATES = (64, 128, 256, 512)
 
 
 def _build(qnet, bf, bnh, bfo, interpret):
@@ -160,10 +162,13 @@ def main(argv=None) -> int:
 
     print("\nstage 1: hidden blocks (frames x nodes)", flush=True)
     best_ms = base_ms
-    for bf in HIDDEN_CANDIDATES:
+    hidden_candidates = tuple(
+        c for c in HIDDEN_CANDIDATES_BASE if args.batch < 1024 or c >= 256
+    )
+    for bf in hidden_candidates:
         if args.batch % bf:
             continue
-        for bnh in HIDDEN_CANDIDATES:
+        for bnh in hidden_candidates:
             if hidden_pad % bnh:
                 continue
             if (bf, bnh) == (d.block_frames, d.block_nodes_hidden):
