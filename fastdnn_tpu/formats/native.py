@@ -18,10 +18,22 @@ import numpy as np
 
 from .binary import RawLayer, RawNetwork
 
+def _lib_filename() -> str:
+    """Platform-native library name, the reference's NativeUtils.java:30-80
+    .so/.dll selection done the Python way."""
+    import sys
+
+    if sys.platform == "win32":
+        return "fastdnn_io.dll"
+    if sys.platform == "darwin":
+        return "libfastdnn_io.dylib"
+    return "libfastdnn_io.so"
+
+
 _LIB_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "_native",
-    "libfastdnn_io.so",
+    _lib_filename(),
 )
 
 _lib: Optional[ctypes.CDLL] = None
