@@ -36,16 +36,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B = 8192
+#: FASTDNN_PROFILE_SMOKE=1 shrinks every measurement campaign to toy shapes
+#: with interpret-mode kernels, so the suite can EXECUTE these code paths on
+#: CPU.  The campaigns otherwise first run unattended inside a scarce TPU
+#: relay window (the resumable evidence ladder) — a Python-level bug there
+#: would forfeit the round's measurement, so the smoke test exists to make
+#: that class of failure impossible.  Smoke timings are meaningless by
+#: construction; only the code path is under test.
+SMOKE = os.environ.get("FASTDNN_PROFILE_SMOKE") == "1"
+B = 64 if SMOKE else 8192
+#: flagship shape: (input dim, hidden width, hidden layers, senones)
+NET_SHAPE = (432, 256, 2, 1024) if SMOKE else (432, 2048, 7, 8000)
 REPS_LO, REPS_HI, ITERS = 4, 24, 7
 
 
-def _flagship():
+def _random_flagship_net():
     from fastdnn_tpu.models.feedforward import random_net
+
+    d_in, hidden, layers, out = NET_SHAPE
+    return random_net(jax.random.PRNGKey(0), d_in, [hidden] * layers, out)
+
+
+def _flagship():
     from fastdnn_tpu.quant.quantize import pad_qnet_for_tpu, quantize_net
 
-    net = random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
-    qnet = pad_qnet_for_tpu(quantize_net(net, cutoff=3.0))
+    qnet = pad_qnet_for_tpu(quantize_net(_random_flagship_net(), cutoff=3.0))
     frames = jax.block_until_ready(
         jax.random.normal(jax.random.PRNGKey(0), (B, qnet.input_dim), jnp.float32)
     )
@@ -84,10 +99,11 @@ def cmd_variants():
                         qnet,
                         x,
                         backend="pallas",
-                        out_dim=8000,
+                        out_dim=NET_SHAPE[3],
                         fused_softmax=fused,
                         input_precision=prec,
                         fast_posteriors=fast,
+                        interpret=SMOKE,
                     ).astype(jnp.float32)
                     x = p[:, : qnet.input_dim] * 50.0 + jnp.sum(p, axis=1, keepdims=True)
                 return p
@@ -254,11 +270,13 @@ def _trace_scorer(sc, label: str, reps: int = 3):
 def _flagship_scorer(mesh=None):
     from fastdnn_tpu.config import EngineConfig
     from fastdnn_tpu.engine.scorer import Scorer
-    from fastdnn_tpu.models.feedforward import random_net
     from fastdnn_tpu.quant.quantize import quantize_net
 
-    net = random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
-    return Scorer(quantize_net(net), EngineConfig(backend="pallas"), mesh=mesh)
+    return Scorer(
+        quantize_net(_random_flagship_net()),
+        EngineConfig(backend="pallas", interpret=SMOKE),
+        mesh=mesh,
+    )
 
 
 def _device_total_ms(thunk, reps: int = 5) -> float:
@@ -359,10 +377,11 @@ def cmd_blocksparse(batches=(32, 256, 8192), interpret=False):
     from fastdnn_tpu.decoder import BeamDecoder, Lexicon, random_lexicon
     from fastdnn_tpu.engine.cluster import mask_cluster_permutation, permute_output_layer
     from fastdnn_tpu.engine.scorer import Scorer
-    from fastdnn_tpu.models.feedforward import random_net
     from fastdnn_tpu.quant.quantize import quantize_net
 
-    net = random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
+    interpret = interpret or SMOKE
+    net = _random_flagship_net()
+    senones = NET_SHAPE[3]
     qnet = quantize_net(net, cutoff=3.0)
     cfg_dense = EngineConfig(backend="pallas", interpret=interpret)
     cfg_bs = EngineConfig(backend="pallas", lazy_mode="block_sparse", interpret=interpret)
@@ -372,7 +391,9 @@ def cmd_blocksparse(batches=(32, 256, 8192), interpret=False):
     # track (so the beam has signal to follow) + distractors, exactly the
     # examples/beam_decoder.py recipe, at flagship senone count.
     rng = np.random.default_rng(7)
-    T = 512
+    T = 64 if SMOKE else 512
+    if SMOKE:
+        batches = (16, 32)
     frames = rng.standard_normal((T, 432)).astype(np.float32)
     track = sc.score(frames).argmax(1)
     dedup = track[np.insert(np.diff(track) != 0, 0, True)]
@@ -385,9 +406,12 @@ def cmd_blocksparse(batches=(32, 256, 8192), interpret=False):
     # starts churning.
     lex = Lexicon(
         tuple(true_words)
-        + random_lexicon(rng, 560, 8000, min_states=4, max_states=8).words
+        + random_lexicon(
+            rng, 40 if SMOKE else 560, senones, min_states=4, max_states=8
+        ).words
     )
-    dec = BeamDecoder(lex, 8000, beam_width=256, word_exit_beam=32)
+    dec = BeamDecoder(lex, senones, beam_width=64 if SMOKE else 256,
+                      word_exit_beam=32)
     res = dec.decode_dense(sc, frames)
     half = T // 2
     perm = mask_cluster_permutation(res.masks[:half])
@@ -449,7 +473,8 @@ def cmd_int4(interpret=False):
     from fastdnn_tpu.models import feedforward as ff
     from fastdnn_tpu.quant.quantize import quantize_net
 
-    net = ff.random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
+    interpret = interpret or SMOKE
+    net = _random_flagship_net()
     cfg = EngineConfig(backend="pallas", interpret=interpret)
     q4 = quantize_net(net, cutoff=3.0, hidden_bits=4)
     scorers = {
@@ -499,7 +524,8 @@ def cmd_serving(interpret=False):
     from fastdnn_tpu.models import feedforward as ff
     from fastdnn_tpu.quant.quantize import quantize_net
 
-    net = ff.random_net(jax.random.PRNGKey(0), 432, [2048] * 7, 8000)
+    interpret = interpret or SMOKE
+    net = _random_flagship_net()
     qnet = quantize_net(net, cutoff=3.0)
     configs = {
         "parity": EngineConfig(backend="pallas", interpret=interpret),
@@ -554,10 +580,12 @@ def cmd_stack(interpret=False):
 
     from fastdnn_tpu.engine.scorer import build_hidden_stack, score_fn
 
+    interpret = interpret or SMOKE
     qnet, _ = _flagship()
+    out_dim = NET_SHAPE[3]
     hstack = build_hidden_stack(qnet)
     rows = {}
-    for b in (128, 512, 2048, 8192):
+    for b in (32, 64) if SMOKE else (128, 512, 2048, 8192):
         frames = jax.block_until_ready(
             jax.random.normal(jax.random.PRNGKey(1), (b, qnet.input_dim), jnp.float32)
         )
@@ -568,7 +596,7 @@ def cmd_stack(interpret=False):
                     qnet,
                     y,
                     backend="pallas",
-                    out_dim=8000,
+                    out_dim=out_dim,
                     fused_softmax=True,
                     interpret=interpret,
                     hstack=hstack if stack else None,
@@ -623,6 +651,9 @@ def cmd_trace_mesh():
 
 
 if __name__ == "__main__":
+    from fastdnn_tpu.config import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # axon hook force-registers TPU over the env
     what = sys.argv[1] if len(sys.argv) > 1 else "trace"
     if len(sys.argv) > 2:  # optional batch override, e.g. `trace 128`
         B = int(sys.argv[2])
