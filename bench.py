@@ -294,6 +294,22 @@ def main(argv=None) -> int:
     )
     args = p.parse_args(argv)
 
+    if args.config == "scaling":
+        # the virtual 8-device CPU mesh must be configured BEFORE the first
+        # backend touch — _platform_or_die() would pin the platform (TPU on
+        # the real chip) and the scaling config could never see 8 devices.
+        # No TPU is involved here at all, so skip the init watchdog too.
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps(run_config(args.config, args.backend, args.iters)))
+        return 0
+
     platform = _platform_or_die()
 
     if args.config:
