@@ -25,6 +25,9 @@ from jax.experimental import pallas as pl
 
 
 def main() -> int:
+    from fastdnn_tpu.config import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # the axon hook force-registers TPU over the env
     from fastdnn_tpu.ops.pallas_kernels import _quantized_sigmoid_shifted
     from fastdnn_tpu.ops.sigmoid import (
         ZERO_POINT,
