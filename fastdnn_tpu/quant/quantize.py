@@ -30,11 +30,13 @@ the zero-point correction that lets uint8 activations ride the s8 x s8 MXU:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ACTIVATION_SCALE, WEIGHT_SCALE, EngineConfig
 from ..models.feedforward import FeedForwardNet, fuse_transform
@@ -42,6 +44,34 @@ from ..models.feedforward import FeedForwardNet, fuse_transform
 
 def _round_half_away(x):
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+@contextlib.contextmanager
+def _host_prep():
+    """Run offline model-prep math on the host CPU backend.
+
+    Quantization/packing/padding is load-time work (the reference quantizes
+    at model load, dnn.cc:511-531), not serving-path compute, so it belongs
+    on the host.  Concretely necessary on the experimental axon TPU runtime:
+    eagerly dispatching ANY op whose input is a jnp.int4 array there raises
+    "RecursionError: Recursively calling jit" (observed on the v5e relay,
+    round-5 VERIFY), so s4 trunk weights must be built and packed on CPU.
+    The math is value-identical across backends (exact elementary f32/int
+    ops: clip/round/max/div/sum).
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:  # no CPU backend registered: run where we are
+        yield
+        return
+    with jax.default_device(cpu):
+        yield
+
+
+def _host(x) -> jax.Array:
+    """Pull an array to host memory (committed device arrays would otherwise
+    pin eager execution to their device despite jax.default_device)."""
+    return jnp.asarray(np.asarray(x))
 
 
 @jax.tree_util.register_dataclass
@@ -123,17 +153,18 @@ def quantize_layer(w: jax.Array, cutoff: float, bits: int = 8):
         8: (WEIGHT_SCALE, -128, 127, jnp.int8),
         4: (7.0, -8, 7, jnp.int4),
     }[bits]
-    clamped = jnp.clip(w, -cutoff, cutoff)
-    absmax = jnp.max(jnp.abs(clamped))
-    # an all-zero layer is exactly representable: any finite multiplier
-    # quantizes it to zeros; guard the division so it doesn't produce
-    # inf/NaN (the reference would divide by zero here, dnn.cc:479)
-    absmax = jnp.where(absmax == 0, 1.0, absmax)
-    # floor at 1: with a huge cutoff and absmax > 254, round(127/absmax)
-    # would hit 0 and poison inv_scale (1/(0*255) = inf -> NaN posteriors)
-    multiplier = jnp.maximum(_round_half_away(scale / absmax), 1.0)
-    w_q = jnp.clip(_round_half_away(clamped * multiplier), lo, hi)
-    return w_q.astype(dtype), multiplier.astype(jnp.float32)
+    with _host_prep():
+        clamped = jnp.clip(_host(w), -cutoff, cutoff)
+        absmax = jnp.max(jnp.abs(clamped))
+        # an all-zero layer is exactly representable: any finite multiplier
+        # quantizes it to zeros; guard the division so it doesn't produce
+        # inf/NaN (the reference would divide by zero here, dnn.cc:479)
+        absmax = jnp.where(absmax == 0, 1.0, absmax)
+        # floor at 1: with a huge cutoff and absmax > 254, round(127/absmax)
+        # would hit 0 and poison inv_scale (1/(0*255) = inf -> NaN posteriors)
+        multiplier = jnp.maximum(_round_half_away(scale / absmax), 1.0)
+        w_q = jnp.clip(_round_half_away(clamped * multiplier), lo, hi)
+        return w_q.astype(dtype), multiplier.astype(jnp.float32)
 
 
 def quantize_net(
@@ -168,9 +199,12 @@ def quantize_net(
         bits = hidden_bits if i < n_quant - 1 else 8
         w_q, mult = quantize_layer(w, cutoff, bits=bits)
         weights.append(w_q)
-        colsums.append(128 * jnp.sum(w_q.astype(jnp.int32), axis=0))
+        with _host_prep():  # s4 eager ops must stay on CPU (see _host_prep)
+            colsums.append(128 * jnp.sum(w_q.astype(jnp.int32), axis=0))
+            inv_scales.append(
+                (1.0 / (mult * ACTIVATION_SCALE)).astype(jnp.float32)
+            )
         biases.append(b.astype(jnp.float32))
-        inv_scales.append((1.0 / (mult * ACTIVATION_SCALE)).astype(jnp.float32))
         multipliers.append(mult)
     return QuantizedNet(
         input_w=net.weights[0].astype(jnp.float32),
@@ -213,9 +247,10 @@ def pack_int4_trunk(qnet: QuantizedNet) -> QuantizedNet:
         k = w.shape[0]
         if k % 2:
             raise ValueError(f"packed int4 needs an even K, got {k}")
-        w8 = w.astype(jnp.int8)
-        lo, hi = w8[: k // 2], w8[k // 2 :]
-        weights.append(((hi << 4) | (lo & 0xF)).astype(jnp.int8))
+        with _host_prep():  # s4 eager ops must stay on CPU (see _host_prep)
+            w8 = _host(w).astype(jnp.int8)
+            lo, hi = w8[: k // 2], w8[k // 2 :]
+            weights.append(((hi << 4) | (lo & 0xF)).astype(jnp.int8))
         changed = True
     if not changed:
         return qnet
@@ -254,18 +289,22 @@ def pad_qnet_for_tpu(
     def up(n: int, m: int = lanes) -> int:
         return -(-n // m) * m
 
-    in_w = qnet.input_w
-    last = len(qnet.weights) - 1
-    h0 = up(in_w.shape[1])
-    in_w = _pad2(in_w, in_w.shape[0], h0)
-    in_b = jnp.pad(qnet.input_b, (0, h0 - qnet.input_b.shape[0]))
-    weights, colsums, biases = [], [], []
-    for i, (w, cs, b) in enumerate(zip(qnet.weights, qnet.colsum128, qnet.biases)):
-        k = up(w.shape[0])
-        n = up(w.shape[1], out_lanes if i == last else lanes)
-        weights.append(_pad2(w, k, n))
-        colsums.append(jnp.pad(cs, (0, n - cs.shape[0])))
-        biases.append(jnp.pad(b, (0, n - b.shape[0])))
+    with _host_prep():  # s4 eager ops must stay on CPU (see _host_prep)
+        in_w = qnet.input_w
+        last = len(qnet.weights) - 1
+        h0 = up(in_w.shape[1])
+        in_w = _pad2(in_w, in_w.shape[0], h0)
+        in_b = jnp.pad(qnet.input_b, (0, h0 - qnet.input_b.shape[0]))
+        weights, colsums, biases = [], [], []
+        for i, (w, cs, b) in enumerate(
+            zip(qnet.weights, qnet.colsum128, qnet.biases)
+        ):
+            k = up(w.shape[0])
+            n = up(w.shape[1], out_lanes if i == last else lanes)
+            w = _host(w) if w.dtype == jnp.int4 else w
+            weights.append(_pad2(w, k, n))
+            colsums.append(jnp.pad(cs, (0, n - cs.shape[0])))
+            biases.append(jnp.pad(b, (0, n - b.shape[0])))
     return QuantizedNet(
         input_w=in_w,
         input_b=in_b,

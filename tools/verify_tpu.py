@@ -325,36 +325,79 @@ def check_engine(detail, batch: int) -> bool:
     ok &= _bitwise("engine_hidden_acts_bitwise", acts_p[: batch],
                    acts_x[: batch], detail)
 
-    # packed-nibble int4 trunk (EngineConfig.int4_packed — the contingency
-    # for toolchains without native s4): pure storage change, so pallas and
-    # XLA engines must agree at the suite's bound; checked BEFORE the
-    # native-s4 block so a native-s4 compile failure cannot mask it
-    q4p = quantize_net(net, cutoff=3.0, hidden_bits=4)
-    sp_p = Scorer(
-        q4p, EngineConfig(backend="pallas", interpret=interpret, int4_packed=True)
-    )
-    sp_x = Scorer(q4p, EngineConfig(backend="xla", int4_packed=True))
-    ok &= _close(
-        "int4_packed_engine_posteriors", sp_p.score(frames[:128]),
-        sp_x.score(frames[:128]), POSTERIOR_ATOL, detail,
-    )
-
-    # int4 hidden trunk: s8 x s4 MXU path bitwise across engines, float
-    # oracle within the reference's own 0.1 gate (FuncTest.java:70-72)
-    from fastdnn_tpu.models.feedforward import forward
+    # int4 trunk checks, ISOLATED PER VARIANT (round-5 lesson: the first
+    # on-TPU run died inside the shared quantize_net(hidden_bits=4) call —
+    # "RecursionError: Recursively calling jit" on any eager op consuming a
+    # jnp.int4 array under the axon runtime — masking BOTH variants; prep is
+    # now host-pinned in quant/quantize.py, and each variant reports its own
+    # verdict so one toolchain failure can never hide the other's result)
+    def _isolated(name: str, fn) -> bool:
+        try:
+            return bool(fn())
+        except Exception as e:  # record, never abort the remaining checks
+            detail[name] = {
+                "ok": False, "error": f"{type(e).__name__}: {str(e)[:400]}"
+            }
+            return False
 
     q4 = quantize_net(net, cutoff=3.0, hidden_bits=4)
-    s4_p = Scorer(q4, EngineConfig(backend="pallas", interpret=interpret))
-    s4_x = Scorer(q4, EngineConfig(backend="xla"))
-    ok &= _close("int4_engine_posteriors", s4_p.score(frames[:128]),
-                 s4_x.score(frames[:128]), POSTERIOR_ATOL, detail)
-    import jax.numpy as jnp
 
-    fl = np.asarray(forward(net, jnp.asarray(frames[:100])))
-    summed = np.abs(s4_x.score(frames[:100]) - fl).sum(axis=0)
-    d = float(summed.max())
-    detail["int4_float_oracle_gate"] = {"ok": d < 0.1, "sum_d_max": d, "gate": 0.1}
-    ok &= d < 0.1
+    # packed-nibble int4 trunk (EngineConfig.int4_packed — the contingency
+    # for toolchains without native s4): pure storage change, so pallas and
+    # XLA engines must agree at the suite's bound
+    def _packed_checks() -> bool:
+        sp_p = Scorer(
+            q4, EngineConfig(backend="pallas", interpret=interpret,
+                             int4_packed=True)
+        )
+        sp_x = Scorer(q4, EngineConfig(backend="xla", int4_packed=True))
+        return _close(
+            "int4_packed_engine_posteriors", sp_p.score(frames[:128]),
+            sp_x.score(frames[:128]), POSTERIOR_ATOL, detail,
+        )
+
+    packed_ok = _isolated("int4_packed_engine_posteriors", _packed_checks)
+    ok &= packed_ok
+
+    # native-s4 int4 trunk: s8 x s4 MXU path bitwise across engines, float
+    # oracle within the reference's own 0.1 gate (FuncTest.java:70-72)
+    def _s4_checks() -> bool:
+        from fastdnn_tpu.models.feedforward import forward
+
+        s4_p = Scorer(q4, EngineConfig(backend="pallas", interpret=interpret))
+        s4_x = Scorer(q4, EngineConfig(backend="xla"))
+        good = _close("int4_engine_posteriors", s4_p.score(frames[:128]),
+                      s4_x.score(frames[:128]), POSTERIOR_ATOL, detail)
+        import jax.numpy as jnp
+
+        fl = np.asarray(forward(net, jnp.asarray(frames[:100])))
+        summed = np.abs(s4_x.score(frames[:100]) - fl).sum(axis=0)
+        d = float(summed.max())
+        detail["int4_float_oracle_gate"] = {
+            "ok": d < 0.1, "sum_d_max": d, "gate": 0.1
+        }
+        return good and d < 0.1
+
+    s4_ok = _isolated("int4_native_s4", _s4_checks)
+    if not s4_ok:
+        err = detail.get("int4_native_s4", {}).get("error", "")
+        # a CRASH dispatching/lowering s4 is the pre-committed
+        # unsupported-toolchain outcome (BENCHMARKS.md int4 decision rule):
+        # int4_packed is the supported int4 trunk there, so the gate passes
+        # IF the packed contingency passed.  A numeric MISMATCH (s4 ran but
+        # disagreed) still fails the gate.
+        crashish = any(t in err for t in
+                       ("RecursionError", "S4", "int4", "NotImplemented",
+                        "Unsupported", "lower"))
+        if err and crashish and packed_ok:
+            detail["int4_native_s4"] = {
+                "ok": True, "verdict": "unsupported_toolchain", "error": err,
+                "note": "native jnp.int4 dispatch fails on this runtime; "
+                        "int4_packed is the documented int4 trunk "
+                        "(pre-committed rule, BENCHMARKS.md)",
+            }
+        else:
+            ok = False
     return ok
 
 
