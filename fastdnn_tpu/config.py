@@ -160,12 +160,16 @@ class EngineConfig:
     fast_posteriors: bool = False
     #: frame-count threshold at or below which ALL hidden layers run as one
     #: Pallas kernel (fused_hidden_stack): the weight stack streams per
-    #: frame block and n-1 dispatches vanish.  Device-traced on v5e (tanh
-    #: epilogue): stacked wins 1-3% at every batch up to 2048 and ties
-    #: per-layer at 4096-8192, so the threshold sits at 2048; at larger
-    #: batches per-layer kernels keep each weight matrix VMEM-resident
-    #: across frame blocks.  0 disables.
-    stack_hidden_max_frames: int = 2048
+    #: frame block and n-1 dispatches vanish.  Re-measured round 5 on v5e
+    #: (tools/profile.py stack, device-traced in one session — table in
+    #: BENCHMARKS.md): stacked 1.09x at B=512, 1.01x at 2048 AND 8192, so
+    #: the threshold moved 2048 -> 8192 per the renderer's rule ("at or
+    #: above the largest B where the stack still wins").  At B=128 the same
+    #: session showed per-layer 0.93x FASTER — a 6 us/batch effect that
+    #: contradicts the round-2 trace and is noise-level end-to-end, so the
+    #: threshold stays a single upper bound rather than growing a lower
+    #: one.  0 disables.
+    stack_hidden_max_frames: int = 8192
 
     # Lazy / masked output -------------------------------------------------
     #: "reference" reproduces the reference softmax-over-zeros semantics for

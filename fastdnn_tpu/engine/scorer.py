@@ -474,6 +474,14 @@ class Scorer:
             from ..parallel.mesh import shard_qnet
 
             net = shard_qnet(net, mesh)
+        else:
+            # Commit the weights to the device ONCE: quantize/pack/pad run in
+            # host numpy (quant.quantize INT4 note), and a numpy leaf passed
+            # as a jit argument would re-upload on every call.  On runtimes
+            # without native-s4 transport (axon) this is also where an
+            # unpacked int4 net fails — contained here, at construction,
+            # instead of at the first score() (int4_packed=True avoids it).
+            net = jax.device_put(net)
         self.net = net
         hstack = None
         if (

@@ -30,48 +30,36 @@ the zero-point correction that lets uint8 activations ride the s8 x s8 MXU:
 
 from __future__ import annotations
 
-import contextlib
 import dataclasses
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from ..config import ACTIVATION_SCALE, WEIGHT_SCALE, EngineConfig
 from ..models.feedforward import FeedForwardNet, fuse_transform
+
+# int4 weights live in HOST numpy arrays with the ml_dtypes.int4 extension
+# dtype (== jnp.int4) until a jitted program consumes them.  The axon TPU
+# runtime can neither eagerly dispatch an op on a jnp.int4 device array
+# ("RecursionError: Recursively calling jit", round-5 VERIFY) nor transfer
+# one back to host (UNIMPLEMENTED), so ALL int4 prep math — quantize, pack,
+# pad — runs in numpy and a device only ever sees s4 bits as (a) packed
+# nibbles riding ordinary int8 (pack_int4_trunk, the production path) or
+# (b) a native-s4 jit argument on runtimes whose toolchain lowers it (the
+# isolated verify_tpu/profile probe).  numpy f32 and XLA-CPU f32 agree
+# bitwise on the elementary ops used here (clip/round/mul/div/sum).
+INT4 = ml_dtypes.int4
 
 
 def _round_half_away(x):
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
-@contextlib.contextmanager
-def _host_prep():
-    """Run offline model-prep math on the host CPU backend.
-
-    Quantization/packing/padding is load-time work (the reference quantizes
-    at model load, dnn.cc:511-531), not serving-path compute, so it belongs
-    on the host.  Concretely necessary on the experimental axon TPU runtime:
-    eagerly dispatching ANY op whose input is a jnp.int4 array there raises
-    "RecursionError: Recursively calling jit" (observed on the v5e relay,
-    round-5 VERIFY), so s4 trunk weights must be built and packed on CPU.
-    The math is value-identical across backends (exact elementary f32/int
-    ops: clip/round/max/div/sum).
-    """
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:  # no CPU backend registered: run where we are
-        yield
-        return
-    with jax.default_device(cpu):
-        yield
-
-
-def _host(x) -> jax.Array:
-    """Pull an array to host memory (committed device arrays would otherwise
-    pin eager execution to their device despite jax.default_device)."""
-    return jnp.asarray(np.asarray(x))
+def _round_half_away_np(x):
+    return np.sign(x) * np.floor(np.abs(x) + np.float32(0.5))
 
 
 @jax.tree_util.register_dataclass
@@ -141,20 +129,17 @@ def quantize_layer(w: jax.Array, cutoff: float, bits: int = 8):
     """Quantize one layer's [in, out] float weights.
 
     bits=8 is the reference scheme (scale 127, int8); bits=4 is the TPU
-    extension — scale 7, stored as jnp.int4 (the MXU consumes s4 natively;
-    XLA packs two weights per byte, halving HBM/VMEM weight traffic).  The
-    reference has no analog (SSE has no 4-bit lanes).
+    extension — scale 7, stored with the int4 extension dtype (the MXU
+    consumes s4 natively; XLA packs two weights per byte, halving HBM/VMEM
+    weight traffic).  The reference has no analog (SSE has no 4-bit lanes).
 
-    Returns (w_q int8|int4, multiplier f32 scalar).
+    Returns (w_q int8|int4, multiplier f32 scalar).  bits=4 computes in
+    host numpy and returns a HOST array (see module note on INT4).
     """
     if bits not in (8, 4):
         raise ValueError(f"bits must be 8 or 4, got {bits}")
-    scale, lo, hi, dtype = {
-        8: (WEIGHT_SCALE, -128, 127, jnp.int8),
-        4: (7.0, -8, 7, jnp.int4),
-    }[bits]
-    with _host_prep():
-        clamped = jnp.clip(_host(w), -cutoff, cutoff)
+    if bits == 8:
+        clamped = jnp.clip(w, -cutoff, cutoff)
         absmax = jnp.max(jnp.abs(clamped))
         # an all-zero layer is exactly representable: any finite multiplier
         # quantizes it to zeros; guard the division so it doesn't produce
@@ -162,9 +147,20 @@ def quantize_layer(w: jax.Array, cutoff: float, bits: int = 8):
         absmax = jnp.where(absmax == 0, 1.0, absmax)
         # floor at 1: with a huge cutoff and absmax > 254, round(127/absmax)
         # would hit 0 and poison inv_scale (1/(0*255) = inf -> NaN posteriors)
-        multiplier = jnp.maximum(_round_half_away(scale / absmax), 1.0)
-        w_q = jnp.clip(_round_half_away(clamped * multiplier), lo, hi)
-        return w_q.astype(dtype), multiplier.astype(jnp.float32)
+        multiplier = jnp.maximum(_round_half_away(WEIGHT_SCALE / absmax), 1.0)
+        w_q = jnp.clip(_round_half_away(clamped * multiplier), -128, 127)
+        return w_q.astype(jnp.int8), multiplier.astype(jnp.float32)
+    clamped = np.clip(
+        np.asarray(w, np.float32), np.float32(-cutoff), np.float32(cutoff)
+    )
+    absmax = np.float32(np.max(np.abs(clamped)))
+    if absmax == 0:  # same guards as the int8 branch above
+        absmax = np.float32(1.0)
+    multiplier = np.maximum(
+        _round_half_away_np(np.float32(7.0) / absmax), np.float32(1.0)
+    )
+    w_q = np.clip(_round_half_away_np(clamped * multiplier), -8, 7)
+    return w_q.astype(np.int8).astype(INT4), np.float32(multiplier)
 
 
 def quantize_net(
@@ -199,7 +195,14 @@ def quantize_net(
         bits = hidden_bits if i < n_quant - 1 else 8
         w_q, mult = quantize_layer(w, cutoff, bits=bits)
         weights.append(w_q)
-        with _host_prep():  # s4 eager ops must stay on CPU (see _host_prep)
+        if bits == 4:  # host-numpy prep; see module note on INT4
+            colsums.append(
+                128 * np.sum(np.asarray(w_q).astype(np.int32), axis=0)
+            )
+            inv_scales.append(
+                np.float32(1.0) / (mult * np.float32(ACTIVATION_SCALE))
+            )
+        else:
             colsums.append(128 * jnp.sum(w_q.astype(jnp.int32), axis=0))
             inv_scales.append(
                 (1.0 / (mult * ACTIVATION_SCALE)).astype(jnp.float32)
@@ -247,18 +250,23 @@ def pack_int4_trunk(qnet: QuantizedNet) -> QuantizedNet:
         k = w.shape[0]
         if k % 2:
             raise ValueError(f"packed int4 needs an even K, got {k}")
-        with _host_prep():  # s4 eager ops must stay on CPU (see _host_prep)
-            w8 = _host(w).astype(jnp.int8)
-            lo, hi = w8[: k // 2], w8[k // 2 :]
-            weights.append(((hi << 4) | (lo & 0xF)).astype(jnp.int8))
+        # host-numpy: int4 weights never touch a device unpacked (see INT4)
+        w8 = np.asarray(w).astype(np.int8)
+        lo, hi = w8[: k // 2], w8[k // 2 :]
+        weights.append(((hi << 4) | (lo & 0xF)).astype(np.int8))
         changed = True
     if not changed:
         return qnet
     return dataclasses.replace(qnet, weights=tuple(weights), packed_int4=True)
 
 
-def _pad2(a: jax.Array, rows: int, cols: int) -> jax.Array:
-    return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
+def _pad2(a, rows: int, cols: int):
+    widths = ((0, rows - a.shape[0]), (0, cols - a.shape[1]))
+    if a.dtype == jnp.int4:
+        # host-numpy via an int8 round trip (np.pad has no int4 kernel and
+        # device int4 must never be touched eagerly; see module note on INT4)
+        return np.pad(np.asarray(a).astype(np.int8), widths).astype(INT4)
+    return jnp.pad(a, widths)
 
 
 def pad_qnet_for_tpu(
@@ -289,22 +297,20 @@ def pad_qnet_for_tpu(
     def up(n: int, m: int = lanes) -> int:
         return -(-n // m) * m
 
-    with _host_prep():  # s4 eager ops must stay on CPU (see _host_prep)
-        in_w = qnet.input_w
-        last = len(qnet.weights) - 1
-        h0 = up(in_w.shape[1])
-        in_w = _pad2(in_w, in_w.shape[0], h0)
-        in_b = jnp.pad(qnet.input_b, (0, h0 - qnet.input_b.shape[0]))
-        weights, colsums, biases = [], [], []
-        for i, (w, cs, b) in enumerate(
-            zip(qnet.weights, qnet.colsum128, qnet.biases)
-        ):
-            k = up(w.shape[0])
-            n = up(w.shape[1], out_lanes if i == last else lanes)
-            w = _host(w) if w.dtype == jnp.int4 else w
-            weights.append(_pad2(w, k, n))
-            colsums.append(jnp.pad(cs, (0, n - cs.shape[0])))
-            biases.append(jnp.pad(b, (0, n - b.shape[0])))
+    in_w = qnet.input_w
+    last = len(qnet.weights) - 1
+    h0 = up(in_w.shape[1])
+    in_w = _pad2(in_w, in_w.shape[0], h0)
+    in_b = jnp.pad(qnet.input_b, (0, h0 - qnet.input_b.shape[0]))
+    weights, colsums, biases = [], [], []
+    for i, (w, cs, b) in enumerate(
+        zip(qnet.weights, qnet.colsum128, qnet.biases)
+    ):
+        k = up(w.shape[0])
+        n = up(w.shape[1], out_lanes if i == last else lanes)
+        weights.append(_pad2(w, k, n))
+        colsums.append(jnp.pad(cs, (0, n - cs.shape[0])))
+        biases.append(jnp.pad(b, (0, n - b.shape[0])))
     return QuantizedNet(
         input_w=in_w,
         input_b=in_b,

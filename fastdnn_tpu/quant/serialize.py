@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .quantize import QuantizedNet
+from .quantize import INT4, QuantizedNet
 
 FORMAT_VERSION = 1
 
@@ -125,12 +125,11 @@ def load_qnet(path) -> QuantizedNet:
             input_w=jnp.asarray(z["input_w"]),
             input_b=jnp.asarray(z["input_b"]),
             weights=tuple(
-                jnp.asarray(
-                    z[f"w_{i}"],
-                    jnp.int4
-                    if f"bits_{i}" in z and int(z[f"bits_{i}"]) == 4
-                    else jnp.int8,
-                )
+                # int4 re-narrows on the HOST (ml_dtypes numpy): device s4
+                # must never materialize eagerly (quant.quantize INT4 note)
+                z[f"w_{i}"].astype(INT4)
+                if f"bits_{i}" in z and int(z[f"bits_{i}"]) == 4
+                else jnp.asarray(z[f"w_{i}"], jnp.int8)
                 for i in range(n)
             ),
             colsum128=tuple(jnp.asarray(z[f"colsum_{i}"]) for i in range(n)),

@@ -76,7 +76,11 @@ def spawn_server(model: str, port: int, *, backend: str, max_wait_ms: float,
          "--max-wait-ms", str(max_wait_ms),
          "--max-batch-frames", str(max_batch_frames), "--warmup"],
         cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env={**os.environ, "PYTHONPATH": REPO},
+        # APPEND to PYTHONPATH — replacing it drops the axon platform plugin
+        # (/root/.axon_site) while JAX_PLATFORMS=axon is still inherited, and
+        # the server dies at first device touch (round-5 serve.log)
+        env={**os.environ,
+             "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")},
     )
     _wait_for_server(port, proc, timeout_s)
     return proc

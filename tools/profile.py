@@ -477,12 +477,15 @@ def cmd_int4(interpret=False):
     net = _random_flagship_net()
     cfg = EngineConfig(backend="pallas", interpret=interpret)
     q4 = quantize_net(net, cutoff=3.0, hidden_bits=4)
+    # LAZY factories: Scorer construction itself can fail for native-s4
+    # (device_put of an s4 net is where unsupported runtimes like axon die —
+    # the round-5 first ladder lost all three variants to one shared crash)
     scorers = {
-        "int8": Scorer(quantize_net(net, cutoff=3.0), cfg),
+        "int8": lambda: Scorer(quantize_net(net, cutoff=3.0), cfg),
         # native jnp.int4 operands to the MXU dot — the hypothesis under test
-        "int4": Scorer(q4, cfg),
+        "int4": lambda: Scorer(q4, cfg),
         # packed-nibble contingency: same s4 values, no jnp.int4 anywhere
-        "int4_packed": Scorer(
+        "int4_packed": lambda: Scorer(
             q4,
             EngineConfig(backend="pallas", interpret=interpret, int4_packed=True),
         ),
@@ -494,8 +497,9 @@ def cmd_int4(interpret=False):
     out = {"batch": B}
     # per-variant isolation: a native-s4 compile failure must not cost the
     # packed/int8 measurements (the whole point of running all three)
-    for name, sc in scorers.items():
+    for name, make in scorers.items():
         try:
+            sc = make()
             summed = np.abs(sc.score(f100) - fl).sum(axis=0)
             gate = round(float(summed.max()), 4)
             padded, _ = sc._prepare(frames)

@@ -340,7 +340,15 @@ def check_engine(detail, batch: int) -> bool:
             }
             return False
 
-    q4 = quantize_net(net, cutoff=3.0, hidden_bits=4)
+    try:
+        # pure host-numpy since round 5 (quant.quantize INT4 note), but keep
+        # it isolated: a prep failure must cost only the two int4 checks
+        q4 = quantize_net(net, cutoff=3.0, hidden_bits=4)
+    except Exception as e:
+        detail["int4_quantize_prep"] = {
+            "ok": False, "error": f"{type(e).__name__}: {str(e)[:400]}"
+        }
+        return False
 
     # packed-nibble int4 trunk (EngineConfig.int4_packed — the contingency
     # for toolchains without native s4): pure storage change, so pallas and
