@@ -75,9 +75,13 @@ def unpack_int4_pair(packed_i8):
     """[K/2, N] two-nibbles-per-byte int8 -> (lo, hi) int8 weight halves.
 
     Inverse of quant.quantize.pack_int4_trunk: lo[k] is weight row k, hi[k]
-    is weight row K/2+k; arithmetic shifts sign-extend the s4 nibbles."""
-    lo = (packed_i8 << 4) >> 4
-    hi = packed_i8 >> 4
+    is weight row K/2+k; arithmetic shifts sign-extend the s4 nibbles.
+    The shifts run widened to int32 — same values, but i8 vector shifts
+    crashed the v5e Mosaic remote compiler (artifacts/r5/verify2.log) and
+    the XLA path keeps the unpack algebra identical to the Pallas kernel."""
+    w32 = packed_i8.astype(jnp.int32)
+    lo = ((w32 << 28) >> 28).astype(jnp.int8)
+    hi = (w32 >> 4).astype(jnp.int8)
     return lo, hi
 
 

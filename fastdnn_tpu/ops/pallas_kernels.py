@@ -84,18 +84,24 @@ def _hidden_kernel(x_ref, w_ref, colsum_ref, bias_ref, inv_scale_ref, out_ref):
     out_ref[:] = _quantized_sigmoid_shifted(lin)
 
 
-def _hidden_kernel_packed(x_ref, w_ref, colsum_ref, bias_ref, inv_scale_ref, out_ref):
+def _hidden_kernel_packed(xlo_ref, xhi_ref, w_ref, colsum_ref, bias_ref,
+                          inv_scale_ref, out_ref):
     """_hidden_kernel for pack_int4_trunk weights: w_ref is [K/2, bn] int8
     carrying two s4 nibbles per byte (quant.quantize.pack_int4_trunk).  Two
     arithmetic shifts recover the halves on the VPU (amortized: ~1M ops per
     ~2G-MAC step) and two plain s8 x s8 MXU dots over the activation halves
-    replace the one s4 dot — no jnp.int4 anywhere in the compiled kernel."""
-    kk = w_ref.shape[0]
-    packed = w_ref[:]
-    lo = (packed << 4) >> 4
-    hi = packed >> 4
-    acc = jnp.dot(x_ref[:, :kk], lo, preferred_element_type=jnp.int32)
-    acc += jnp.dot(x_ref[:, kk:], hi, preferred_element_type=jnp.int32)
+    replace the one s4 dot — no jnp.int4 anywhere in the compiled kernel.
+
+    Mosaic-safety (first real-hardware compile, round 5b): the unpack is
+    widened to int32 before shifting — i8 vector shifts crashed the v5e
+    remote compiler (tpu_compile_helper exit 1, artifacts/r5/verify2.log) —
+    and the activation halves arrive as two separate refs sliced by XLA
+    outside the kernel, so Mosaic never sees a lane-dimension slice."""
+    packed = w_ref[:].astype(jnp.int32)
+    lo = ((packed << 28) >> 28).astype(jnp.int8)  # sign-extend the low nibble
+    hi = (packed >> 4).astype(jnp.int8)           # arithmetic shift: high nibble
+    acc = jnp.dot(xlo_ref[:], lo, preferred_element_type=jnp.int32)
+    acc += jnp.dot(xhi_ref[:], hi, preferred_element_type=jnp.int32)
     lin = (acc + colsum_ref[:]).astype(jnp.float32) * inv_scale_ref[0, 0] + bias_ref[:]
     out_ref[:] = _quantized_sigmoid_shifted(lin)
 
@@ -141,11 +147,19 @@ def _layer_call(kernel, out_dtype, x, w, colsum, bias, inv_scale, *, block_frame
     grid = (n // bn, b // bm)  # frames iterate fastest: weight block reused
     flops = 2 * b * n * k
     bytes_accessed = b * k + kw * n + b * n * (1 if out_dtype == jnp.int8 else 4) + 4 * n * 2
+    # packed path: the activation halves are sliced by XLA here, OUTSIDE the
+    # kernel, so Mosaic sees two plain [bm, kk] refs (lane-dim slicing inside
+    # the kernel is a real-hardware compile hazard; see _hidden_kernel_packed)
+    x_in = [x[:, :kw], x[:, kw:]] if packed else [x]
+    x_specs = [
+        pl.BlockSpec((bm, kw if packed else k), lambda j, i: (i, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in x_in
+    ]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        in_specs=x_specs + [
             pl.BlockSpec((kw, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
@@ -157,7 +171,7 @@ def _layer_call(kernel, out_dtype, x, w, colsum, bias, inv_scale, *, block_frame
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=b * n
         ),
         interpret=interpret,
-    )(x, w, colsum.reshape(1, n), bias.reshape(1, n), inv_scale.reshape(1, 1))
+    )(*x_in, w, colsum.reshape(1, n), bias.reshape(1, n), inv_scale.reshape(1, 1))
 
 
 @functools.partial(

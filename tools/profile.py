@@ -482,13 +482,16 @@ def cmd_int4(interpret=False):
     # the round-5 first ladder lost all three variants to one shared crash)
     scorers = {
         "int8": lambda: Scorer(quantize_net(net, cutoff=3.0), cfg),
-        # native jnp.int4 operands to the MXU dot — the hypothesis under test
-        "int4": lambda: Scorer(q4, cfg),
         # packed-nibble contingency: same s4 values, no jnp.int4 anywhere
         "int4_packed": lambda: Scorer(
             q4,
             EngineConfig(backend="pallas", interpret=interpret, int4_packed=True),
         ),
+        # native jnp.int4 operands to the MXU dot — the hypothesis under
+        # test.  LAST: on the axon runtime a failed s4 execution poisons the
+        # process's TPU state (later executions die UNIMPLEMENTED —
+        # artifacts/r5/verify2.log), so it must not precede a measurement
+        "int4": lambda: Scorer(q4, cfg),
     }
 
     f100 = np.random.default_rng(3).standard_normal((100, 432)).astype(np.float32)

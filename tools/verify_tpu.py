@@ -325,78 +325,26 @@ def check_engine(detail, batch: int) -> bool:
     ok &= _bitwise("engine_hidden_acts_bitwise", acts_p[: batch],
                    acts_x[: batch], detail)
 
-    # int4 trunk checks, ISOLATED PER VARIANT (round-5 lesson: the first
-    # on-TPU run died inside the shared quantize_net(hidden_bits=4) call —
-    # "RecursionError: Recursively calling jit" on any eager op consuming a
-    # jnp.int4 array under the axon runtime — masking BOTH variants; prep is
-    # now host-pinned in quant/quantize.py, and each variant reports its own
-    # verdict so one toolchain failure can never hide the other's result)
-    def _isolated(name: str, fn) -> bool:
-        try:
-            return bool(fn())
-        except Exception as e:  # record, never abort the remaining checks
-            detail[name] = {
-                "ok": False, "error": f"{type(e).__name__}: {str(e)[:400]}"
-            }
-            return False
-
-    try:
-        # pure host-numpy since round 5 (quant.quantize INT4 note), but keep
-        # it isolated: a prep failure must cost only the two int4 checks
-        q4 = quantize_net(net, cutoff=3.0, hidden_bits=4)
-    except Exception as e:
-        detail["int4_quantize_prep"] = {
-            "ok": False, "error": f"{type(e).__name__}: {str(e)[:400]}"
-        }
-        return False
-
-    # packed-nibble int4 trunk (EngineConfig.int4_packed — the contingency
-    # for toolchains without native s4): pure storage change, so pallas and
-    # XLA engines must agree at the suite's bound
-    def _packed_checks() -> bool:
-        sp_p = Scorer(
-            q4, EngineConfig(backend="pallas", interpret=interpret,
-                             int4_packed=True)
-        )
-        sp_x = Scorer(q4, EngineConfig(backend="xla", int4_packed=True))
-        return _close(
-            "int4_packed_engine_posteriors", sp_p.score(frames[:128]),
-            sp_x.score(frames[:128]), POSTERIOR_ATOL, detail,
-        )
-
-    packed_ok = _isolated("int4_packed_engine_posteriors", _packed_checks)
+    # int4 trunk checks in a SUBPROCESS (round-5b lesson, one step past the
+    # round-5 per-variant isolation: a failed native-s4 EXECUTION poisons the
+    # whole process's TPU state on the axon runtime — after the in-process s4
+    # probe died UNIMPLEMENTED, check_golden died UNIMPLEMENTED too
+    # (artifacts/r5/verify2.log).  The risky variants now never share a
+    # process with the remaining checks; the child runs packed first and
+    # native s4 LAST so the poisoning candidate cannot mask a measurement.)
+    packed_ok, s4_ok = _run_int4_probes(detail, batch)
     ok &= packed_ok
-
-    # native-s4 int4 trunk: s8 x s4 MXU path bitwise across engines, float
-    # oracle within the reference's own 0.1 gate (FuncTest.java:70-72)
-    def _s4_checks() -> bool:
-        from fastdnn_tpu.models.feedforward import forward
-
-        s4_p = Scorer(q4, EngineConfig(backend="pallas", interpret=interpret))
-        s4_x = Scorer(q4, EngineConfig(backend="xla"))
-        good = _close("int4_engine_posteriors", s4_p.score(frames[:128]),
-                      s4_x.score(frames[:128]), POSTERIOR_ATOL, detail)
-        import jax.numpy as jnp
-
-        fl = np.asarray(forward(net, jnp.asarray(frames[:100])))
-        summed = np.abs(s4_x.score(frames[:100]) - fl).sum(axis=0)
-        d = float(summed.max())
-        detail["int4_float_oracle_gate"] = {
-            "ok": d < 0.1, "sum_d_max": d, "gate": 0.1
-        }
-        return good and d < 0.1
-
-    s4_ok = _isolated("int4_native_s4", _s4_checks)
     if not s4_ok:
         err = detail.get("int4_native_s4", {}).get("error", "")
-        # a CRASH dispatching/lowering s4 is the pre-committed
+        # a CRASH dispatching/lowering/executing s4 is the pre-committed
         # unsupported-toolchain outcome (BENCHMARKS.md int4 decision rule):
         # int4_packed is the supported int4 trunk there, so the gate passes
         # IF the packed contingency passed.  A numeric MISMATCH (s4 ran but
         # disagreed) still fails the gate.
         crashish = any(t in err for t in
                        ("RecursionError", "S4", "int4", "NotImplemented",
-                        "Unsupported", "lower"))
+                        "Unsupported", "lower", "Unimplemented",
+                        "UNIMPLEMENTED", "Mosaic", "INTERNAL"))
         if err and crashish and packed_ok:
             detail["int4_native_s4"] = {
                 "ok": True, "verdict": "unsupported_toolchain", "error": err,
@@ -407,6 +355,105 @@ def check_engine(detail, batch: int) -> bool:
         else:
             ok = False
     return ok
+
+
+_INT4_PROBE_CHILD = r"""
+import json
+import sys
+
+import numpy as np
+
+batch, atol = int(sys.argv[1]), float(sys.argv[2])
+
+from fastdnn_tpu.config import (EngineConfig, enable_compilation_cache,
+                                honor_jax_platforms_env)
+
+honor_jax_platforms_env()
+enable_compilation_cache()
+import jax
+import jax.numpy as jnp
+
+from fastdnn_tpu.engine.scorer import Scorer
+from fastdnn_tpu.models.feedforward import forward, random_net
+from fastdnn_tpu.quant.quantize import quantize_net
+
+interpret = jax.devices()[0].platform != "tpu"
+net = random_net(jax.random.PRNGKey(3), 432, [512] * 4, 1000)
+q4 = quantize_net(net, cutoff=3.0, hidden_bits=4)  # host-numpy prep
+frames = (np.random.default_rng(3).standard_normal((batch, 432))
+          .astype(np.float32))[:128]
+fl = np.asarray(forward(net, jnp.asarray(frames[:100])))
+
+
+def emit(name, **kw):
+    print("PROBE " + json.dumps(dict(name=name, **kw)), flush=True)
+
+
+def probe(name, make_pallas, make_xla):
+    try:
+        sc_p, sc_x = make_pallas(), make_xla()
+        d = float(np.abs(sc_p.score(frames) - sc_x.score(frames)).max())
+        # float oracle at the reference's own bound (FuncTest.java:70-72)
+        g = float(np.abs(sc_x.score(frames[:100]) - fl).sum(axis=0).max())
+        emit(name, ok=bool(d <= atol and g < 0.1), max_abs_diff=d, atol=atol,
+             float_oracle_sum_d_max=g, float_oracle_gate=0.1)
+    except Exception as e:
+        emit(name, ok=False, error=f"{type(e).__name__}: {str(e)[:400]}")
+
+
+# packed first (the safe variant); native s4 LAST — on the axon runtime a
+# failed s4 execution poisons this process's TPU state, which is exactly why
+# this child exists
+probe(
+    "int4_packed_engine_posteriors",
+    lambda: Scorer(q4, EngineConfig(backend="pallas", interpret=interpret,
+                                    int4_packed=True)),
+    lambda: Scorer(q4, EngineConfig(backend="xla", int4_packed=True)),
+)
+probe(
+    "int4_native_s4",
+    lambda: Scorer(q4, EngineConfig(backend="pallas", interpret=interpret)),
+    lambda: Scorer(q4, EngineConfig(backend="xla")),
+)
+"""
+
+
+def _run_int4_probes(detail, batch: int) -> tuple[bool, bool]:
+    """Both int4-trunk variants in one fresh subprocess; returns
+    (packed_ok, s4_ok) and records one detail entry per variant."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _INT4_PROBE_CHILD, str(batch),
+             str(POSTERIOR_ATOL)],
+            capture_output=True, text=True, timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        detail["int4_probe_subprocess"] = {
+            "ok": False, "error": "int4 probe subprocess timed out (900s)"
+        }
+        return False, False
+    results = {}
+    for line in proc.stdout.splitlines():
+        if line.startswith("PROBE "):
+            rec = json.loads(line[len("PROBE "):])
+            results[rec.pop("name")] = rec
+    if not results:
+        tail = (proc.stderr or proc.stdout).strip().splitlines()
+        detail["int4_probe_subprocess"] = {
+            "ok": False,
+            "error": f"rc={proc.returncode}: "
+                     f"{tail[-1][:400] if tail else '<no output>'}",
+        }
+        return False, False
+    for name in ("int4_packed_engine_posteriors", "int4_native_s4"):
+        detail[name] = results.get(name) or {
+            "ok": False,
+            "error": f"probe died before this variant (rc={proc.returncode})",
+        }
+    return (bool(detail["int4_packed_engine_posteriors"].get("ok")),
+            bool(detail["int4_native_s4"].get("ok")))
 
 
 def check_golden(detail) -> bool:
